@@ -1,0 +1,192 @@
+"""Network building blocks (Flax), TPU-first re-expressions of the
+reference's graph builders (reference: src/networks/blocks.cpp:32-208 and the
+ConvNext block inlined in src/networks/networks.cpp:1154-1218).
+
+Conventions:
+- NHWC layout throughout (preferred conv layout on TPU).
+- Blocks compute in `dtype` (bfloat16 by default) with float32 parameters
+  and float32 BatchNorm statistics; XLA fuses BN+ReLU into the convs.
+- Heads return LOGITS; softmax/temperature is applied by the caller
+  (the reference bakes Softmax into the graph — equivalent capability,
+  but logits compose better with masked softmax and loss functions).
+"""
+
+from __future__ import annotations
+
+from typing import Any
+
+import jax.numpy as jnp
+from flax import linen as nn
+
+
+class ConvBN(nn.Module):
+    """Conv2D (no bias) + BatchNormalization with optional activation
+    (reference: blocks.cpp conv_bn_relu/conv_bn)."""
+
+    filters: int
+    kernel: int = 3
+    act: Any = nn.relu  # None for linear
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = nn.Conv(
+            self.filters, (self.kernel, self.kernel), use_bias=False, dtype=self.dtype
+        )(x)
+        x = nn.BatchNorm(
+            use_running_average=not train, dtype=self.dtype, axis_name=None
+        )(x)
+        if self.act is not None:
+            x = self.act(x)
+        return x
+
+
+class ResidualBlock(nn.Module):
+    """conv3x3-BN-relu, conv3x3-BN, add, relu
+    (reference: blocks.cpp:45-55 createResidualBlock)."""
+
+    filters: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = ConvBN(self.filters, 3, nn.relu, self.dtype)(x, train)
+        y = ConvBN(self.filters, 3, None, self.dtype)(y, train)
+        return nn.relu(x + y)
+
+
+class BottleneckBlock(nn.Module):
+    """Bottleneck residual blocks v1-v3 (reference: blocks.cpp:56-97)."""
+
+    filters: int
+    version: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        half = self.filters // 2
+        if self.version == 1:
+            y = ConvBN(half, 3, nn.relu, self.dtype)(x, train)
+            y = ConvBN(self.filters, 3, None, self.dtype)(y, train)
+        elif self.version == 2:
+            y = ConvBN(half, 1, nn.relu, self.dtype)(x, train)
+            y = ConvBN(half, 3, nn.relu, self.dtype)(y, train)
+            y = ConvBN(half, 3, nn.relu, self.dtype)(y, train)
+            y = ConvBN(self.filters, 1, None, self.dtype)(y, train)
+        elif self.version == 3:
+            y = ConvBN(half, 1, nn.relu, self.dtype)(x, train)
+            y = ConvBN(half, 3, nn.relu, self.dtype)(y, train)
+            y = ConvBN(self.filters, 3, None, self.dtype)(y, train)
+        else:
+            raise ValueError(f"bottleneck version {self.version}")
+        return nn.relu(x + y)
+
+
+class SqueezeExcitation(nn.Module):
+    """Global-average-pool channel gating
+    (reference: blocks.cpp:129-143 squeeze_and_excitation_block)."""
+
+    filters: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x):
+        z = jnp.mean(x, axis=(1, 2))  # [B, C]
+        z = nn.relu(nn.Dense(self.filters, dtype=self.dtype)(z))
+        z = nn.sigmoid(nn.Dense(self.filters, dtype=self.dtype)(z))
+        return x * z[:, None, None, :]
+
+
+class ConvNextBlock(nn.Module):
+    """Depthwise 7x7 + BN + pointwise expand/project with residual, followed
+    by squeeze-excitation (reference: networks.cpp:1163-1181, the ConvNext
+    block of ConvNextPVQMraw)."""
+
+    filters: int
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.Conv(
+            self.filters,
+            (7, 7),
+            feature_group_count=self.filters,
+            use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        y = nn.relu(nn.Conv(self.filters, (1, 1), dtype=self.dtype)(y))
+        # reference fuses the projection of y with the residual into one
+        # two-input Conv2D; projection + add is the same computation
+        x = nn.Conv(self.filters, (1, 1), dtype=self.dtype)(y) + x
+        return SqueezeExcitation(self.filters, self.dtype)(x)
+
+
+class PolicyHead(nn.Module):
+    """conv-BN-relu then 1x1 conv to one logit per cell
+    (reference: blocks.cpp:99-107; ConvNext variant networks.cpp:1185-1189
+    uses kernel 1).  Returns logits [B, H, W]."""
+
+    filters: int
+    kernel: int = 3
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        x = ConvBN(self.filters, self.kernel, nn.relu, self.dtype)(x, train)
+        x = nn.Conv(1, (1, 1), dtype=self.dtype)(x)
+        return x[..., 0].astype(jnp.float32)
+
+
+class ValueHead(nn.Module):
+    """Global pooling + MLP to 3-way win/draw/loss logits
+    (reference: blocks.cpp:108-118; ConvNext variant networks.cpp:1192-1198).
+    Returns logits [B, 3]."""
+
+    filters: int
+    hidden: int = 256
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        v = nn.relu(nn.Conv(self.filters, (1, 1), dtype=self.dtype)(x))
+        v = jnp.mean(v, axis=(1, 2))
+        v = nn.Dense(self.hidden, use_bias=False, dtype=self.dtype)(v)
+        v = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(v)
+        v = nn.relu(v)
+        v = nn.Dense(3, dtype=self.dtype)(v)
+        return v.astype(jnp.float32)
+
+
+class ActionValuesHead(nn.Module):
+    """Per-cell 3-way action-value logits [B, H, W, 3]
+    (reference: blocks.cpp:119-127; ConvNext variant networks.cpp:1201-1205)."""
+
+    filters: int
+    kernel: int = 1
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        q = ConvBN(self.filters, self.kernel, nn.relu, self.dtype)(x, train)
+        q = nn.Conv(3, (1, 1), dtype=self.dtype)(q)
+        return q.astype(jnp.float32)
+
+
+class MovesLeftHead(nn.Module):
+    """Distribution over 0..H*W-1 moves left, as logits [B, H*W]
+    (reference: networks.cpp:1208-1215)."""
+
+    buckets: int
+    hidden: int = 128
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        m = nn.relu(nn.Conv(32, (1, 1), dtype=self.dtype)(x))
+        m = jnp.mean(m, axis=(1, 2))
+        m = nn.Dense(self.hidden, use_bias=False, dtype=self.dtype)(m)
+        m = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(m)
+        m = nn.relu(m)
+        m = nn.Dense(self.buckets, dtype=self.dtype)(m)
+        return m.astype(jnp.float32)

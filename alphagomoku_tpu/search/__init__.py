@@ -1,0 +1,3 @@
+from . import mcts, score
+
+__all__ = ["mcts", "score"]

@@ -1,0 +1,677 @@
+"""Batched on-device MCTS: fixed-capacity array trees, one tree per board,
+everything (select / evaluate / expand / backup) inside one jitted scan.
+
+This is the TPU-native re-design of the reference's thread-parallel MCTS
+(reference: src/search/monte_carlo/{Tree,Search,Node,Edge,EdgeSelector,
+EdgeGenerator}.cpp).  Mapping:
+
+- `Node`/`Edge` heap objects -> struct-of-arrays `Tree` with leading dims
+  `[B, N]` (nodes) and `[B, N, K]` (edges).  K = max_edges mirrors the
+  reference's max_children pruning (reference: EdgeGenerator.cpp:269-303);
+  a per-node `complete` flag records whether pruning dropped legal moves,
+  which gates LOSS/DRAW proof propagation exactly where the reference relies
+  on full expansion.
+- PUCT edge selection is a masked argmax over the K edge slots
+  (reference math: EdgeSelector.cpp:389-424: proven WIN/LOSS pinned to
+  +/-1000 -/+ distance, DRAW to 0.5, c_puct = c + scaling*log(N),
+  U = prior * c * sqrt(N_parent) / (1 + n_edge)).
+- Thread coordination (virtual loss, `is_being_expanded`, information-leak
+  repair, PriorityMutex; reference: Tree.cpp:226-384) disappears: lockstep
+  batching issues exactly one simulation per tree per step, so there is
+  nothing to race against.  The NN batch is the board batch.
+- Proven-score minimax backup keeps the reference semantics
+  (reference: Node.hpp:283-286 updateScore = max, Tree.cpp:299-351):
+  edge score = invert_up(child score); a node is WIN if any edge is WIN,
+  LOSS/DRAW only when every edge of a complete node is proven.
+
+The transposition-table tree (NodeCache) is deliberately NOT replicated:
+each move gets a fresh tree (subtree value reuse happens through the replay
+of root statistics).  See SURVEY.md section 2.3 TPU mapping for the
+strength-parity caveat and the planned hash-probe variant.
+"""
+
+from __future__ import annotations
+
+from typing import Any, Callable, NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from ..game.types import CROSS, CIRCLE, GameOutcome
+from ..game import vectorized as V
+from ..patterns import features as F
+from . import score as S
+
+NULL = jnp.int32(-1)
+
+
+class MCTSConfig(NamedTuple):
+    """Search configuration (reference: utils/configs.hpp MCTSConfig +
+    EdgeSelectorConfig + TreeConfig)."""
+
+    max_nodes: int = 1024
+    max_edges: int = 32  # max_children (reference default from auto-config)
+    max_depth: int = 48
+    exploration_constant: float = 1.25  # c_puct
+    exploration_scaling: float = 0.0  # * log(parent visits)
+    init_to: str = "parent"  # loss | draw | parent | q_head
+    policy_expansion_temperature: float = 1.0
+    noise_weight: float = 0.0  # dirichlet noise at root (selfplay)
+    noise_alpha: float = 0.1
+
+
+class Tree(NamedTuple):
+    """Struct-of-arrays search forest: B independent trees.
+
+    Values are (win, draw) pairs; edge stats are from the PARENT's
+    side-to-move perspective, node stats from the node's own perspective
+    (same convention as the reference Edge/Node)."""
+
+    node_visits: jax.Array  # [B, N] int32
+    node_value_sum: jax.Array  # [B, N, 2] f32
+    node_score: jax.Array  # [B, N] uint16 packed Score
+    node_moves_left_sum: jax.Array  # [B, N] f32
+    node_complete: jax.Array  # [B, N] bool: edges cover ALL legal moves
+    edge_action: jax.Array  # [B, N, K] int32 (r*W + c; -1 empty slot)
+    edge_child: jax.Array  # [B, N, K] int32 (-1 unexpanded)
+    edge_prior: jax.Array  # [B, N, K] f32
+    edge_visits: jax.Array  # [B, N, K] int32
+    edge_value_sum: jax.Array  # [B, N, K, 2] f32
+    edge_score: jax.Array  # [B, N, K] uint16
+    edge_q_init: jax.Array  # [B, N, K] f32 (q-head prior expectation)
+    node_count: jax.Array  # [B] int32
+
+    @property
+    def batch(self) -> int:
+        return self.node_visits.shape[0]
+
+    @property
+    def capacity(self) -> int:
+        return self.node_visits.shape[1]
+
+
+def init_tree(batch: int, cfg: MCTSConfig) -> Tree:
+    n, k = cfg.max_nodes, cfg.max_edges
+    return Tree(
+        node_visits=jnp.zeros((batch, n), jnp.int32),
+        node_value_sum=jnp.zeros((batch, n, 2), jnp.float32),
+        node_score=jnp.full((batch, n), S.zero()),
+        node_moves_left_sum=jnp.zeros((batch, n), jnp.float32),
+        node_complete=jnp.zeros((batch, n), bool),
+        edge_action=jnp.full((batch, n, k), NULL),
+        edge_child=jnp.full((batch, n, k), NULL),
+        edge_prior=jnp.zeros((batch, n, k), jnp.float32),
+        edge_visits=jnp.zeros((batch, n, k), jnp.int32),
+        edge_value_sum=jnp.zeros((batch, n, k, 2), jnp.float32),
+        edge_score=jnp.full((batch, n, k), S.zero()),
+        edge_q_init=jnp.zeros((batch, n, k), jnp.float32),
+        node_count=jnp.zeros(batch, jnp.int32),
+    )
+
+
+# ---------------------------------------------------------------------------
+# PUCT selection over the K edge slots of one node per tree
+# ---------------------------------------------------------------------------
+
+
+def _edge_utility(
+    tree: Tree, cfg: MCTSConfig, node: jax.Array, prior: jax.Array
+) -> jax.Array:
+    """PUCT utility [B, K] for the edges of `node` [B]
+    (reference: EdgeSelector.cpp:389-424)."""
+    b = jnp.arange(tree.batch)
+    visits = tree.edge_visits[b, node]
+    vsum = tree.edge_value_sum[b, node]
+    escore = tree.edge_score[b, node]
+    valid = tree.edge_action[b, node] != NULL
+
+    n_parent = tree.node_visits[b, node].astype(jnp.float32)
+    c_puct = cfg.exploration_constant + cfg.exploration_scaling * jnp.log(
+        jnp.maximum(n_parent, 1.0)
+    )
+
+    nf = visits.astype(jnp.float32)
+    expectation = (vsum[..., 0] + 0.5 * vsum[..., 1]) / jnp.maximum(nf, 1.0)
+    if cfg.init_to == "parent":
+        pv_sum = tree.node_value_sum[b, node]
+        pn = jnp.maximum(n_parent, 1.0)
+        q_init = ((pv_sum[..., 0] + 0.5 * pv_sum[..., 1]) / pn)[:, None]
+        q_init = jnp.broadcast_to(q_init, expectation.shape)
+    elif cfg.init_to == "draw":
+        q_init = jnp.full_like(expectation, 0.5)
+    elif cfg.init_to == "q_head":
+        q_init = tree.edge_q_init[b, node]
+    else:  # loss
+        q_init = jnp.zeros_like(expectation)
+    q = jnp.where(visits > 0, expectation, q_init)
+
+    u = prior * (c_puct * jnp.sqrt(n_parent))[:, None] / (1.0 + nf)
+    util = q + u
+
+    # proven edges pin the utility (reference: EdgeSelector.cpp:400-410)
+    dist = S.get_distance(escore).astype(jnp.float32)
+    util = jnp.where(S.is_win(escore), 1000.0 - dist, util)
+    util = jnp.where(S.is_loss(escore), -1000.0 + dist, util)
+    util = jnp.where(S.is_draw(escore) & S.is_finite(escore), 0.5, util)
+    return jnp.where(valid, util, -jnp.inf)
+
+
+def select_edge(
+    tree: Tree, cfg: MCTSConfig, node: jax.Array, prior: jax.Array
+) -> jax.Array:
+    """Best edge slot [B] of `node` [B] by PUCT."""
+    return jnp.argmax(_edge_utility(tree, cfg, node, prior), axis=-1).astype(jnp.int32)
+
+
+# ---------------------------------------------------------------------------
+# Expansion helpers
+# ---------------------------------------------------------------------------
+
+
+def _topk_edges(
+    policy: jax.Array, legal: jax.Array, k: int, temperature: float
+) -> tuple[jax.Array, jax.Array, jax.Array]:
+    """Choose up to K edges by prior (reference: UnifiedGenerator prune +
+    renormalize, EdgeGenerator.cpp:269-303).
+
+    policy [B, H, W] masked probabilities; returns (actions [B,K] int32,
+    priors [B,K] f32 renormalized, complete [B] bool: no legal move was
+    dropped)."""
+    bsz, h, w = policy.shape
+    flat = policy.reshape(bsz, h * w)
+    legal_flat = legal.reshape(bsz, h * w)
+    if temperature != 1.0:
+        flat = flat ** (1.0 / temperature)
+    flat = jnp.where(legal_flat, jnp.maximum(flat, 1e-12), -1.0)
+    vals, idxs = jax.lax.top_k(flat, k)
+    keep = vals > 0.0
+    priors = jnp.where(keep, vals, 0.0)
+    priors = priors / jnp.maximum(priors.sum(-1, keepdims=True), 1e-12)
+    actions = jnp.where(keep, idxs.astype(jnp.int32), NULL)
+    complete = legal_flat.sum(-1) <= k
+    return actions, priors, complete
+
+
+def _edge_terminal_scores(
+    tables: V.RuleTables, board: jax.Array, stm: jax.Array, actions: jax.Array
+) -> jax.Array:
+    """Proven scores [B, K] for candidate edges that immediately end the game
+    (reference: UnifiedGenerator per-child terminal-condition check,
+    EdgeGenerator.cpp:23-124): completing a five -> WIN in 1 for the mover,
+    filling the last cell -> DRAW in 1.  Renju-forbidden cells never appear
+    here (they are masked out of the legal set upstream)."""
+    bsz, h, w = board.shape
+    k = actions.shape[1]
+    safe = jnp.clip(actions, 0, h * w - 1)
+    rows, cols = safe // w, safe % w
+    wins = V.windows_at(board, rows, cols)  # [B, K, 4]
+    pts = V.pattern_types(tables, wins, (stm == CIRCLE)[:, None])  # [B, K, 4]
+    five = jnp.any(pts == V.T.PT_FIVE, axis=-1)
+    last_cell = ((board == V.NONE).sum((1, 2)) <= 1)[:, None]
+    out = jnp.broadcast_to(S.zero(), (bsz, k))
+    out = jnp.where(last_cell, S.draw_in(1), out)
+    out = jnp.where(five, S.win_in(1), out)
+    return jnp.where(actions != NULL, out, S.zero()).astype(jnp.uint16)
+
+
+def _evaluate(
+    net_apply: Callable, variables: Any, tables: V.RuleTables, board, stm, raw_input: bool
+):
+    """NN forward on [B,H,W] boards: returns (policy [B,H,W] masked probs,
+    value (win,draw) [B,2], q_expect [B,H,W], moves_left [B], legal mask)."""
+    packed = F.encode(tables, board, stm)
+    planes = F.unpack_raw_planes(packed) if raw_input else F.unpack_planes(packed)
+    out = net_apply(variables, planes)
+    legal = (packed & 1) == 1
+    # renju-forbidden cells are excluded from expansion (reference:
+    # UnifiedGenerator skips forbidden moves, EdgeGenerator.cpp:23-124)
+    legal = legal & ~(((packed >> 6) & 1) == 1)
+    neg = jnp.float32(-1e9)
+    plogits = jnp.where(legal, out.policy_logits, neg)
+    bsz = plogits.shape[0]
+    policy = jax.nn.softmax(plogits.reshape(bsz, -1), -1).reshape(plogits.shape)
+    wdl = jax.nn.softmax(out.value_logits, -1)
+    value = jnp.stack([wdl[..., 0], wdl[..., 1]], -1)
+    if out.q_logits is not None:
+        qwdl = jax.nn.softmax(out.q_logits, -1)
+        q_expect = qwdl[..., 0] + 0.5 * qwdl[..., 1]
+    else:
+        q_expect = jnp.zeros_like(policy)
+    if out.moves_left_logits is not None:
+        mdist = jax.nn.softmax(out.moves_left_logits, -1)
+        moves_left = mdist @ jnp.arange(mdist.shape[-1], dtype=jnp.float32)
+    else:
+        moves_left = jnp.zeros((bsz,), jnp.float32)
+    return policy, value, q_expect, moves_left, legal
+
+
+# ---------------------------------------------------------------------------
+# The simulation step
+# ---------------------------------------------------------------------------
+
+
+class SearchState(NamedTuple):
+    """Carry of the per-move search: tree + root position."""
+
+    tree: Tree
+    root_board: jax.Array  # [B, H, W] int8
+    root_stm: jax.Array  # [B] int8 side to move at root
+    noisy_prior: jax.Array  # [B, K] root priors with exploration noise
+    sims_done: jax.Array  # [B] int32
+
+
+def make_simulate_fn(
+    net_apply: Callable,
+    tables: V.RuleTables,
+    cfg: MCTSConfig,
+    raw_input: bool = True,
+):
+    """Build the jittable one-simulation step: (variables, state) -> state.
+
+    One batched simulation across all B trees: PUCT descent carrying the
+    board, terminal check, NN evaluation, expansion, and masked backup along
+    the recorded path (reference pipeline: Search.cpp:117-232)."""
+
+    D = cfg.max_depth
+    K = cfg.max_edges
+
+    def simulate(variables: Any, state: SearchState) -> SearchState:
+        tree = state.tree
+        bsz = tree.batch
+        h, w = state.root_board.shape[1], state.root_board.shape[2]
+        b = jnp.arange(bsz)
+
+        # ------------------------------------------------------------------
+        # SELECT (reference: Tree::select walk, Tree.cpp:226-251)
+        # ------------------------------------------------------------------
+        def descend(carry, _):
+            cur, boardc, stm, steps, done, need_expand, move_r, move_c = carry
+            prior = jnp.where(
+                (cur == 0)[:, None], state.noisy_prior, tree.edge_prior[b, cur]
+            )
+            slot = select_edge(tree, cfg, cur, prior)
+            action = tree.edge_action[b, cur, slot]
+            child = tree.edge_child[b, cur, slot]
+            # stop BEFORE stepping at: proven nodes (revisit, reference
+            # REACHED_PROVEN_EDGE), edge-less nodes (capacity-overflow leaves)
+            no_edges = tree.edge_action[b, cur, 0] == NULL
+            proven = S.is_proven(tree.node_score[b, cur])
+            stop_here = done | no_edges | proven
+
+            take = ~stop_here
+            r = jnp.clip(jnp.where(take, action, 0) // w, 0, h - 1)
+            c = jnp.clip(jnp.where(take, action, 0) % w, 0, w - 1)
+            boardc = jnp.where(
+                take[:, None, None], boardc.at[b, r, c].set(stm), boardc
+            )
+            move_r = jnp.where(take, r, move_r)
+            move_c = jnp.where(take, c, move_c)
+            new_stm = jnp.where(
+                take, jnp.where(stm == CROSS, CIRCLE, CROSS).astype(jnp.int8), stm
+            )
+            # stop AFTER stepping when the chosen edge had no child yet
+            hit_unexpanded = take & (child == NULL)
+            now_done = stop_here | hit_unexpanded
+            new_cur = jnp.where(take & ~hit_unexpanded, child, cur)
+            new_steps = steps + take.astype(jnp.int32)
+            new_need = need_expand | hit_unexpanded
+            out = (new_cur, boardc, new_stm, new_steps, now_done, new_need, move_r, move_c)
+            path = (jnp.where(take, cur, NULL), jnp.where(take, slot, NULL))
+            return out, path
+
+        init = (
+            jnp.zeros(bsz, jnp.int32),  # cur = root (node 0)
+            state.root_board,
+            state.root_stm,
+            jnp.zeros(bsz, jnp.int32),  # steps
+            jnp.zeros(bsz, bool),  # done
+            jnp.zeros(bsz, bool),  # need_expand
+            jnp.zeros(bsz, jnp.int32),
+            jnp.zeros(bsz, jnp.int32),
+        )
+        carry_out, path = jax.lax.scan(descend, init, None, length=D)
+        (leaf, sim_board, leaf_stm, steps, _, need_expand, last_r, last_c) = carry_out
+        path_nodes, path_slots = path  # [D, B] with NULL beyond the path
+
+        # last taken path entry = the edge into the reached position
+        pn_t, ps_t = path_nodes.T, path_slots.T  # [B, D]
+        last_i = jnp.clip(steps - 1, 0, D - 1)
+        last_node = jnp.where(steps > 0, pn_t[b, last_i], NULL)
+        last_slot = jnp.where(steps > 0, ps_t[b, last_i], 0)
+
+        # ------------------------------------------------------------------
+        # TERMINAL CHECK of the newly reached position (only meaningful where
+        # we stepped onto an unexpanded edge)
+        # ------------------------------------------------------------------
+        mover = jnp.where(leaf_stm == CROSS, CIRCLE, CROSS).astype(jnp.int8)
+        stones = (sim_board != V.NONE).sum((1, 2)).astype(jnp.int32)
+        outcome = V.outcome_after(
+            tables, sim_board, last_r, last_c, mover, stones, h * w
+        )
+        outcome = jnp.where(need_expand, outcome, jnp.int8(int(GameOutcome.UNKNOWN)))
+        terminal = outcome != jnp.int8(int(GameOutcome.UNKNOWN))
+        term_score = S.from_outcome(outcome, leaf_stm)  # leaf's own view
+
+        # ------------------------------------------------------------------
+        # EVALUATE all reached positions in one NN batch
+        # ------------------------------------------------------------------
+        policy, value, q_expect, moves_left, legal = _evaluate(
+            net_apply, variables, tables, sim_board, leaf_stm, raw_input
+        )
+        value = jnp.where(terminal[:, None], S.convert_to_value(term_score), value)
+
+        leaf_proven = S.is_proven(tree.node_score[b, leaf])
+        revisit_proven = (~need_expand) & leaf_proven
+        start_value = jnp.where(
+            revisit_proven[:, None],
+            S.convert_to_value(tree.node_score[b, leaf]),
+            value,
+        )
+        start_score = jnp.where(
+            need_expand,
+            term_score,
+            jnp.where(revisit_proven, tree.node_score[b, leaf], S.zero()),
+        )
+        start_ml = moves_left
+
+        # ------------------------------------------------------------------
+        # EXPAND (reference: Tree::expand, Tree.cpp:257-298)
+        # ------------------------------------------------------------------
+        has_space = tree.node_count < tree.capacity
+        do_expand = need_expand & has_space
+        new_idx = jnp.where(do_expand, tree.node_count, 0)
+
+        actions, priors, complete = _topk_edges(
+            policy, legal, K, cfg.policy_expansion_temperature
+        )
+        actions = jnp.where((~terminal)[:, None], actions, NULL)
+        qv = q_expect.reshape(bsz, h * w)
+        safe_act = jnp.clip(actions, 0, h * w - 1)
+        q_init = jnp.where(actions != NULL, jnp.take_along_axis(qv, safe_act, -1), 0.0)
+
+        # static terminal check per candidate edge; a winning edge proves the
+        # new node WIN in 1 immediately (backed up through this very path)
+        edge_scores0 = _edge_terminal_scores(tables, sim_board, leaf_stm, actions)
+        any_win_edge = jnp.any(S.is_win(edge_scores0), axis=-1)
+        new_node_score = jnp.where(
+            terminal, term_score, jnp.where(any_win_edge, S.win_in(1), S.zero())
+        ).astype(jnp.uint16)
+        start_score = jnp.where(need_expand, new_node_score, start_score)
+        start_value = jnp.where(
+            (need_expand & S.is_proven(new_node_score))[:, None],
+            S.convert_to_value(new_node_score),
+            start_value,
+        )
+
+        def upd(arr, value_new):
+            old = arr[b, new_idx]
+            mask = do_expand.reshape((-1,) + (1,) * (old.ndim - 1))
+            return arr.at[b, new_idx].set(jnp.where(mask, value_new, old))
+
+        tree = tree._replace(
+            node_visits=upd(tree.node_visits, 1),
+            node_value_sum=upd(tree.node_value_sum, start_value),
+            node_score=upd(tree.node_score, new_node_score),
+            node_moves_left_sum=upd(tree.node_moves_left_sum, moves_left),
+            node_complete=upd(tree.node_complete, complete & ~terminal),
+            edge_action=upd(tree.edge_action, actions),
+            edge_child=upd(tree.edge_child, jnp.full((bsz, K), NULL)),
+            edge_prior=upd(tree.edge_prior, priors),
+            edge_visits=upd(tree.edge_visits, jnp.zeros((bsz, K), jnp.int32)),
+            edge_value_sum=upd(tree.edge_value_sum, jnp.zeros((bsz, K, 2), jnp.float32)),
+            edge_score=upd(tree.edge_score, edge_scores0),
+            edge_q_init=upd(tree.edge_q_init, q_init),
+            node_count=tree.node_count + do_expand.astype(jnp.int32),
+        )
+        # link the parent edge to the new node
+        link_node = jnp.where(do_expand, last_node, 0)
+        link_slot = jnp.where(do_expand, last_slot, 0)
+        old_child = tree.edge_child[b, link_node, link_slot]
+        tree = tree._replace(
+            edge_child=tree.edge_child.at[b, link_node, link_slot].set(
+                jnp.where(do_expand, new_idx, old_child)
+            )
+        )
+
+        # leaf-node stat update for non-expanding visits (revisits of proven
+        # nodes / depth cutoffs); reference backup touches every traced node
+        leaf_touch = (~need_expand) & (steps > 0)
+        tree = tree._replace(
+            node_visits=tree.node_visits.at[b, leaf].add(leaf_touch.astype(jnp.int32)),
+            node_value_sum=tree.node_value_sum.at[b, leaf].add(
+                jnp.where(leaf_touch[:, None], start_value, 0.0)
+            ),
+            node_moves_left_sum=tree.node_moves_left_sum.at[b, leaf].add(
+                jnp.where(leaf_touch, start_ml, 0.0)
+            ),
+        )
+
+        # ------------------------------------------------------------------
+        # BACKUP (reference: Tree::backup, Tree.cpp:299-351)
+        # ------------------------------------------------------------------
+        minus_inf = jnp.asarray(S.MINUS_INF)
+
+        def backstep(carry, inp):
+            (t, val, child_score, ml) = carry
+            node_d, slot_d = inp  # [B] each, NULL where beyond the path
+            valid = node_d != NULL
+            nd = jnp.where(valid, node_d, 0)
+            sl = jnp.where(valid, slot_d, 0)
+
+            pval = S.value_invert(val)
+            pscore = S.invert_up(child_score)
+            pml = ml + 1.0
+
+            edge_value_sum = t.edge_value_sum.at[b, nd, sl].add(
+                jnp.where(valid[:, None], pval, 0.0)
+            )
+            edge_visits = t.edge_visits.at[b, nd, sl].add(valid.astype(jnp.int32))
+            old_escore = t.edge_score[b, nd, sl]
+            edge_score = t.edge_score.at[b, nd, sl].set(
+                jnp.where(valid & S.is_proven(pscore), pscore, old_escore)
+            )
+            node_visits = t.node_visits.at[b, nd].add(valid.astype(jnp.int32))
+            node_value_sum = t.node_value_sum.at[b, nd].add(
+                jnp.where(valid[:, None], pval, 0.0)
+            )
+            node_ml = t.node_moves_left_sum.at[b, nd].add(jnp.where(valid, pml, 0.0))
+
+            # proven-score minimax on this node
+            es_node = edge_score[b, nd]  # [B, K]
+            e_valid = t.edge_action[b, nd] != NULL
+            best = jnp.max(jnp.where(e_valid, es_node, minus_inf), axis=-1).astype(
+                jnp.uint16
+            )
+            all_proven = jnp.all(S.is_proven(es_node) | ~e_valid, axis=-1)
+            provable = S.is_win(best) | (
+                all_proven & t.node_complete[b, nd] & S.is_proven(best)
+            )
+            old_nscore = t.node_score[b, nd]
+            new_nscore = jnp.where(valid & provable, best, old_nscore)
+            node_score = t.node_score.at[b, nd].set(new_nscore)
+
+            t = t._replace(
+                edge_value_sum=edge_value_sum,
+                edge_visits=edge_visits,
+                edge_score=edge_score,
+                node_visits=node_visits,
+                node_value_sum=node_value_sum,
+                node_moves_left_sum=node_ml,
+                node_score=node_score,
+            )
+            # flip perspective only on real path steps
+            nxt_val = jnp.where(valid[:, None], pval, val)
+            nxt_score = jnp.where(valid, new_nscore, child_score)
+            nxt_ml = jnp.where(valid, pml, ml)
+            return (t, nxt_val, nxt_score, nxt_ml), None
+
+        (tree, _, _, _), _ = jax.lax.scan(
+            backstep,
+            (tree, start_value, start_score, start_ml),
+            (path_nodes[::-1], path_slots[::-1]),
+        )
+
+        return SearchState(
+            tree=tree,
+            root_board=state.root_board,
+            root_stm=state.root_stm,
+            noisy_prior=state.noisy_prior,
+            sims_done=state.sims_done + 1,
+        )
+
+    return simulate
+
+
+# ---------------------------------------------------------------------------
+# Root initialization + search driver
+# ---------------------------------------------------------------------------
+
+
+def init_root(
+    net_apply: Callable,
+    variables: Any,
+    tables: V.RuleTables,
+    cfg: MCTSConfig,
+    board: jax.Array,
+    stm: jax.Array,
+    raw_input: bool = True,
+    noise_key: jax.Array | None = None,
+) -> SearchState:
+    """Create fresh trees with the root (node 0) expanded, optionally with
+    Dirichlet exploration noise on the root priors
+    (reference: EdgeSelector.cpp applyDirichletNoise)."""
+    bsz, h, w = board.shape
+    tree = init_tree(bsz, cfg)
+    policy, value, q_expect, moves_left, legal = _evaluate(
+        net_apply, variables, tables, board, stm, raw_input
+    )
+    actions, priors, complete = _topk_edges(
+        policy, legal, cfg.max_edges, cfg.policy_expansion_temperature
+    )
+    qv = q_expect.reshape(bsz, h * w)
+    safe_act = jnp.clip(actions, 0, h * w - 1)
+    q_init = jnp.where(actions != NULL, jnp.take_along_axis(qv, safe_act, -1), 0.0)
+    edge_scores0 = _edge_terminal_scores(tables, board, stm, actions)
+    root_score = jnp.where(
+        jnp.any(S.is_win(edge_scores0), axis=-1), S.win_in(1), S.zero()
+    ).astype(jnp.uint16)
+    tree = tree._replace(
+        node_visits=tree.node_visits.at[:, 0].set(1),
+        node_value_sum=tree.node_value_sum.at[:, 0].set(value),
+        node_score=tree.node_score.at[:, 0].set(root_score),
+        node_moves_left_sum=tree.node_moves_left_sum.at[:, 0].set(moves_left),
+        node_complete=tree.node_complete.at[:, 0].set(complete),
+        edge_action=tree.edge_action.at[:, 0].set(actions),
+        edge_prior=tree.edge_prior.at[:, 0].set(priors),
+        edge_score=tree.edge_score.at[:, 0].set(edge_scores0),
+        edge_q_init=tree.edge_q_init.at[:, 0].set(q_init),
+        node_count=jnp.ones(bsz, jnp.int32),
+    )
+    noisy = priors
+    if noise_key is not None and cfg.noise_weight > 0.0:
+        noise = jax.random.dirichlet(
+            noise_key, jnp.full((cfg.max_edges,), cfg.noise_alpha), (bsz,)
+        )
+        noisy = jnp.where(
+            actions != NULL,
+            (1.0 - cfg.noise_weight) * priors + cfg.noise_weight * noise,
+            0.0,
+        )
+        noisy = noisy / jnp.maximum(noisy.sum(-1, keepdims=True), 1e-12)
+    return SearchState(
+        tree=tree,
+        root_board=board,
+        root_stm=stm,
+        noisy_prior=noisy,
+        sims_done=jnp.zeros(bsz, jnp.int32),
+    )
+
+
+def run_search(
+    net_apply: Callable,
+    variables: Any,
+    tables: V.RuleTables,
+    cfg: MCTSConfig,
+    board: jax.Array,
+    stm: jax.Array,
+    num_simulations: int,
+    raw_input: bool = True,
+    noise_key: jax.Array | None = None,
+) -> SearchState:
+    """Full search: init root + `num_simulations` batched simulations under
+    one lax.scan (jit the caller; everything stays on device)."""
+    state = init_root(
+        net_apply, variables, tables, cfg, board, stm, raw_input, noise_key
+    )
+    simulate = make_simulate_fn(net_apply, tables, cfg, raw_input)
+
+    def step(s, _):
+        return simulate(variables, s), None
+
+    state, _ = jax.lax.scan(step, state, None, length=num_simulations)
+    return state
+
+
+# ---------------------------------------------------------------------------
+# Extracting results
+# ---------------------------------------------------------------------------
+
+
+def root_visit_distribution(state: SearchState) -> jax.Array:
+    """Normalized root visit counts as a [B, H, W] policy target
+    (reference: SearchDataPack built from root, data_packs.cpp:24-43)."""
+    tree = state.tree
+    bsz = tree.batch
+    h, w = state.root_board.shape[1], state.root_board.shape[2]
+    visits = tree.edge_visits[:, 0].astype(jnp.float32)  # [B, K]
+    actions = tree.edge_action[:, 0]
+    valid = actions != NULL
+    visits = jnp.where(valid, visits, 0.0)
+    dist = jnp.zeros((bsz, h * w), jnp.float32)
+    dist = dist.at[jnp.arange(bsz)[:, None], jnp.clip(actions, 0, h * w - 1)].add(
+        visits
+    )
+    dist = dist / jnp.maximum(dist.sum(-1, keepdims=True), 1e-12)
+    return dist.reshape(bsz, h, w)
+
+
+def root_value(state: SearchState) -> jax.Array:
+    """Root (win, draw) estimate [B, 2]."""
+    tree = state.tree
+    n = jnp.maximum(tree.node_visits[:, 0].astype(jnp.float32), 1.0)
+    return tree.node_value_sum[:, 0] / n[:, None]
+
+
+def select_move(
+    state: SearchState,
+    key: jax.Array | None = None,
+    temperature: float = 0.0,
+) -> jax.Array:
+    """Final move [B] (flat action index): argmax visits, or visit-count
+    sampling with temperature (reference: BestEdgeSelector / final selector
+    sampling in GameGenerator.cpp:145-173).  Proven WIN edges dominate,
+    proven LOSS edges are avoided (reference: BestEdgeSelector ordering)."""
+    tree = state.tree
+    visits = tree.edge_visits[:, 0].astype(jnp.float32)
+    actions = tree.edge_action[:, 0]
+    escore = tree.edge_score[:, 0]
+    valid = actions != NULL
+    h, w = state.root_board.shape[1], state.root_board.shape[2]
+
+    if key is not None and temperature > 0.0:
+        logits = jnp.where(
+            valid, jnp.log(jnp.maximum(visits, 1e-9)) / temperature, -jnp.inf
+        )
+        slot = jax.random.categorical(key, logits, axis=-1)
+    else:
+        n = jnp.maximum(visits, 1.0)
+        ev = tree.edge_value_sum[:, 0]
+        q = (ev[..., 0] + 0.5 * ev[..., 1]) / n
+        util = visits + q
+        dist = S.get_distance(escore).astype(jnp.float32)
+        util = jnp.where(S.is_win(escore), 1e9 - dist, util)
+        util = jnp.where(S.is_loss(escore), -1e9 + dist + visits * 1e-6, util)
+        util = jnp.where(valid, util, -jnp.inf)
+        slot = jnp.argmax(util, axis=-1)
+    b = jnp.arange(tree.batch)
+    return jnp.clip(actions[b, slot], 0, h * w - 1)
