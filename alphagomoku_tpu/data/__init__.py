@@ -1,0 +1,3 @@
+from .replay import ReplayBuffer, FIELDS
+
+__all__ = ["ReplayBuffer", "FIELDS"]

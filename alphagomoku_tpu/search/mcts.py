@@ -41,6 +41,7 @@ from ..game.types import CROSS, CIRCLE, GameOutcome
 from ..game import vectorized as V
 from ..patterns import features as F
 from . import score as S
+from . import static_solver
 
 NULL = jnp.int32(-1)
 
@@ -192,26 +193,21 @@ def _topk_edges(
     return actions, priors, complete
 
 
-def _edge_terminal_scores(
-    tables: V.RuleTables, board: jax.Array, stm: jax.Array, actions: jax.Array
+def _edge_scores_from_analysis(
+    board: jax.Array, analysis: static_solver.StaticAnalysis, actions: jax.Array
 ) -> jax.Array:
-    """Proven scores [B, K] for candidate edges that immediately end the game
-    (reference: UnifiedGenerator per-child terminal-condition check,
-    EdgeGenerator.cpp:23-124): completing a five -> WIN in 1 for the mover,
-    filling the last cell -> DRAW in 1.  Renju-forbidden cells never appear
-    here (they are masked out of the legal set upstream)."""
+    """Gather static tactical scores [B, K] at the chosen edge actions
+    (reference: the solver leg of the pipeline, Search::solve +
+    UnifiedGenerator terminal checks, Search.cpp:159-183,
+    EdgeGenerator.cpp:23-124)."""
     bsz, h, w = board.shape
-    k = actions.shape[1]
+    flat = analysis.action_scores.reshape(bsz, h * w)
     safe = jnp.clip(actions, 0, h * w - 1)
-    rows, cols = safe // w, safe % w
-    wins = V.windows_at(board, rows, cols)  # [B, K, 4]
-    pts = V.pattern_types(tables, wins, (stm == CIRCLE)[:, None])  # [B, K, 4]
-    five = jnp.any(pts == V.T.PT_FIVE, axis=-1)
+    escore = jnp.take_along_axis(flat, safe, -1)
+    # last empty cell is a draw-in-1 unless it wins
     last_cell = ((board == V.NONE).sum((1, 2)) <= 1)[:, None]
-    out = jnp.broadcast_to(S.zero(), (bsz, k))
-    out = jnp.where(last_cell, S.draw_in(1), out)
-    out = jnp.where(five, S.win_in(1), out)
-    return jnp.where(actions != NULL, out, S.zero()).astype(jnp.uint16)
+    escore = jnp.where(last_cell & ~S.is_proven(escore), S.draw_in(1), escore)
+    return jnp.where(actions != NULL, escore, S.zero()).astype(jnp.uint16)
 
 
 def _evaluate(
@@ -242,7 +238,7 @@ def _evaluate(
         moves_left = mdist @ jnp.arange(mdist.shape[-1], dtype=jnp.float32)
     else:
         moves_left = jnp.zeros((bsz,), jnp.float32)
-    return policy, value, q_expect, moves_left, legal
+    return policy, value, q_expect, moves_left, legal, packed
 
 
 # ---------------------------------------------------------------------------
@@ -355,7 +351,7 @@ def make_simulate_fn(
         # ------------------------------------------------------------------
         # EVALUATE all reached positions in one NN batch
         # ------------------------------------------------------------------
-        policy, value, q_expect, moves_left, legal = _evaluate(
+        policy, value, q_expect, moves_left, legal, packed = _evaluate(
             net_apply, variables, tables, sim_board, leaf_stm, raw_input
         )
         value = jnp.where(terminal[:, None], S.convert_to_value(term_score), value)
@@ -381,20 +377,29 @@ def make_simulate_fn(
         do_expand = need_expand & has_space
         new_idx = jnp.where(do_expand, tree.node_count, 0)
 
+        # static solver restricts generated moves (must-defend) and scores
+        # tactical edges before the policy prior is consulted
+        analysis = static_solver.analyze(packed, legal)
         actions, priors, complete = _topk_edges(
-            policy, legal, K, cfg.policy_expansion_temperature
+            policy, analysis.restrict, K, cfg.policy_expansion_temperature
         )
         actions = jnp.where((~terminal)[:, None], actions, NULL)
         qv = q_expect.reshape(bsz, h * w)
         safe_act = jnp.clip(actions, 0, h * w - 1)
         q_init = jnp.where(actions != NULL, jnp.take_along_axis(qv, safe_act, -1), 0.0)
 
-        # static terminal check per candidate edge; a winning edge proves the
-        # new node WIN in 1 immediately (backed up through this very path)
-        edge_scores0 = _edge_terminal_scores(tables, sim_board, leaf_stm, actions)
-        any_win_edge = jnp.any(S.is_win(edge_scores0), axis=-1)
+        edge_scores0 = _edge_scores_from_analysis(sim_board, analysis, actions)
+        best_edge = jnp.max(
+            jnp.where(actions != NULL, edge_scores0, jnp.asarray(S.MINUS_INF)), -1
+        ).astype(jnp.uint16)
         new_node_score = jnp.where(
-            terminal, term_score, jnp.where(any_win_edge, S.win_in(1), S.zero())
+            terminal,
+            term_score,
+            jnp.where(
+                S.is_win(best_edge),
+                best_edge,
+                analysis.node_score,
+            ),
         ).astype(jnp.uint16)
         start_score = jnp.where(need_expand, new_node_score, start_score)
         start_value = jnp.where(
@@ -448,67 +453,85 @@ def make_simulate_fn(
 
         # ------------------------------------------------------------------
         # BACKUP (reference: Tree::backup, Tree.cpp:299-351)
+        #
+        # Two phases to keep HBM traffic flat in batch size: visit/value
+        # statistics go in via ONE batched scatter-add per array (the value
+        # seen at path depth d is a closed form of the leaf value — it flips
+        # perspective (steps-d) times), and only the proven-score minimax —
+        # inherently sequential — runs as a scan, over small gathered path
+        # rows, with two final scatters.  A naive per-ply scatter scan makes
+        # XLA copy the multi-hundred-MB edge arrays every ply.
         # ------------------------------------------------------------------
         minus_inf = jnp.asarray(S.MINUS_INF)
+        valid_bd = pn_t != NULL  # [B, D]
+        nd_bd = jnp.where(valid_bd, pn_t, 0)
+        sl_bd = jnp.where(valid_bd, ps_t, 0)
+        bb = b[:, None]
 
-        def backstep(carry, inp):
-            (t, val, child_score, ml) = carry
-            node_d, slot_d = inp  # [B] each, NULL where beyond the path
-            valid = node_d != NULL
-            nd = jnp.where(valid, node_d, 0)
-            sl = jnp.where(valid, slot_d, 0)
+        # phase A: closed-form values along the path
+        d_idx = jnp.arange(D, dtype=jnp.int32)[None, :]  # [1, D]
+        flips = steps[:, None] - d_idx  # [B, D]
+        odd = (flips & 1) == 1
+        inv_value = S.value_invert(start_value)
+        val_bd = jnp.where(odd[..., None], inv_value[:, None, :], start_value[:, None, :])
+        ml_bd = start_ml[:, None] + flips.astype(jnp.float32)
+        vsel = jnp.where(valid_bd[..., None], val_bd, 0.0)
 
-            pval = S.value_invert(val)
+        tree = tree._replace(
+            edge_value_sum=tree.edge_value_sum.at[bb, nd_bd, sl_bd].add(vsel),
+            edge_visits=tree.edge_visits.at[bb, nd_bd, sl_bd].add(
+                valid_bd.astype(jnp.int32)
+            ),
+            node_visits=tree.node_visits.at[bb, nd_bd].add(valid_bd.astype(jnp.int32)),
+            node_value_sum=tree.node_value_sum.at[bb, nd_bd].add(vsel),
+            node_moves_left_sum=tree.node_moves_left_sum.at[bb, nd_bd].add(
+                jnp.where(valid_bd, ml_bd, 0.0)
+            ),
+        )
+
+        # phase B: proven-score minimax over the gathered path rows
+        es_rows = tree.edge_score[bb, nd_bd]  # [B, D, K] uint16
+        ea_rows = tree.edge_action[bb, nd_bd] != NULL  # [B, D, K]
+        comp_rows = tree.node_complete[bb, nd_bd]  # [B, D]
+        ns_rows = tree.node_score[bb, nd_bd]  # [B, D]
+        k_iota = jnp.arange(K, dtype=jnp.int32)[None, :]
+
+        def score_step(child_score, d):
+            vd = valid_bd[:, d]
             pscore = S.invert_up(child_score)
-            pml = ml + 1.0
-
-            edge_value_sum = t.edge_value_sum.at[b, nd, sl].add(
-                jnp.where(valid[:, None], pval, 0.0)
-            )
-            edge_visits = t.edge_visits.at[b, nd, sl].add(valid.astype(jnp.int32))
-            old_escore = t.edge_score[b, nd, sl]
-            edge_score = t.edge_score.at[b, nd, sl].set(
-                jnp.where(valid & S.is_proven(pscore), pscore, old_escore)
-            )
-            node_visits = t.node_visits.at[b, nd].add(valid.astype(jnp.int32))
-            node_value_sum = t.node_value_sum.at[b, nd].add(
-                jnp.where(valid[:, None], pval, 0.0)
-            )
-            node_ml = t.node_moves_left_sum.at[b, nd].add(jnp.where(valid, pml, 0.0))
-
-            # proven-score minimax on this node
-            es_node = edge_score[b, nd]  # [B, K]
-            e_valid = t.edge_action[b, nd] != NULL
-            best = jnp.max(jnp.where(e_valid, es_node, minus_inf), axis=-1).astype(
+            old_e = es_rows[:, d, :]
+            sl = sl_bd[:, d]
+            e_at_slot = jnp.take_along_axis(old_e, sl[:, None], -1)[:, 0]
+            e_new = jnp.where(vd & S.is_proven(pscore), pscore, e_at_slot).astype(
                 jnp.uint16
             )
-            all_proven = jnp.all(S.is_proven(es_node) | ~e_valid, axis=-1)
+            row = jnp.where(k_iota == sl[:, None], e_new[:, None], old_e)
+            ea = ea_rows[:, d, :]
+            best = jnp.max(jnp.where(ea, row, minus_inf), -1).astype(jnp.uint16)
+            all_proven = jnp.all(S.is_proven(row) | ~ea, -1)
             provable = S.is_win(best) | (
-                all_proven & t.node_complete[b, nd] & S.is_proven(best)
+                all_proven & comp_rows[:, d] & S.is_proven(best)
             )
-            old_nscore = t.node_score[b, nd]
-            new_nscore = jnp.where(valid & provable, best, old_nscore)
-            node_score = t.node_score.at[b, nd].set(new_nscore)
+            ns_new = jnp.where(vd & provable, best, ns_rows[:, d]).astype(jnp.uint16)
+            nxt = jnp.where(vd, ns_new, child_score)
+            return nxt, (e_new, ns_new)
 
-            t = t._replace(
-                edge_value_sum=edge_value_sum,
-                edge_visits=edge_visits,
-                edge_score=edge_score,
-                node_visits=node_visits,
-                node_value_sum=node_value_sum,
-                node_moves_left_sum=node_ml,
-                node_score=node_score,
-            )
-            # flip perspective only on real path steps
-            nxt_val = jnp.where(valid[:, None], pval, val)
-            nxt_score = jnp.where(valid, new_nscore, child_score)
-            nxt_ml = jnp.where(valid, pml, ml)
-            return (t, nxt_val, nxt_score, nxt_ml), None
-
-        (tree, _, _, _), _ = jax.lax.scan(
-            backstep,
-            (tree, start_value, start_score, start_ml),
-            (path_nodes[::-1], path_slots[::-1]),
+        _, (e_new_all, ns_new_all) = jax.lax.scan(
+            score_step, start_score, jnp.arange(D - 1, -1, -1)
+        )
+        # outputs are ordered leaf->root; map back to path order
+        e_new_bd = e_new_all[::-1].T  # [B, D]
+        ns_new_bd = ns_new_all[::-1].T
+        # invalid entries are routed out of bounds and dropped, so they can
+        # never collide with a genuine update to node 0 / slot 0
+        nd_oob = jnp.where(valid_bd, pn_t, tree.capacity)
+        tree = tree._replace(
+            edge_score=tree.edge_score.at[bb, nd_oob, sl_bd].set(
+                e_new_bd.astype(jnp.uint16), mode="drop"
+            ),
+            node_score=tree.node_score.at[bb, nd_oob].set(
+                ns_new_bd.astype(jnp.uint16), mode="drop"
+            ),
         )
 
         return SearchState(
@@ -542,18 +565,22 @@ def init_root(
     (reference: EdgeSelector.cpp applyDirichletNoise)."""
     bsz, h, w = board.shape
     tree = init_tree(bsz, cfg)
-    policy, value, q_expect, moves_left, legal = _evaluate(
+    policy, value, q_expect, moves_left, legal, packed = _evaluate(
         net_apply, variables, tables, board, stm, raw_input
     )
+    analysis = static_solver.analyze(packed, legal)
     actions, priors, complete = _topk_edges(
-        policy, legal, cfg.max_edges, cfg.policy_expansion_temperature
+        policy, analysis.restrict, cfg.max_edges, cfg.policy_expansion_temperature
     )
     qv = q_expect.reshape(bsz, h * w)
     safe_act = jnp.clip(actions, 0, h * w - 1)
     q_init = jnp.where(actions != NULL, jnp.take_along_axis(qv, safe_act, -1), 0.0)
-    edge_scores0 = _edge_terminal_scores(tables, board, stm, actions)
+    edge_scores0 = _edge_scores_from_analysis(board, analysis, actions)
+    best_edge = jnp.max(
+        jnp.where(actions != NULL, edge_scores0, jnp.asarray(S.MINUS_INF)), -1
+    ).astype(jnp.uint16)
     root_score = jnp.where(
-        jnp.any(S.is_win(edge_scores0), axis=-1), S.win_in(1), S.zero()
+        S.is_win(best_edge), best_edge, analysis.node_score
     ).astype(jnp.uint16)
     tree = tree._replace(
         node_visits=tree.node_visits.at[:, 0].set(1),

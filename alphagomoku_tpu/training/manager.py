@@ -1,0 +1,279 @@
+"""Training manager: the reinforcement-learning orchestration loop.
+
+Host-side counterpart of the reference's TrainingManager
+(reference: src/selfplay/TrainingManager.cpp):
+
+- working-directory layout checkpoint/ train_buffer/ metadata.json
+  (reference: TrainingManager.cpp:141-167)
+- runIterationRL = generate games -> train -> (optional) gating
+  (reference: :84-137)
+- checkpoints network_N.msgpack + SWA average of the last k
+  (reference: :226-273, NetworkLoader.cpp:41-53)
+- metadata {last_checkpoint, best_checkpoint, learning_steps}
+- append-only training_history.txt / buffer_stats.txt metric logs
+  (reference: SupervisedLearning.cpp:265-304, TrainingManager.cpp:393-412)
+- SIGINT-graceful stop between phases (reference: os_utils
+  setupSignalHandler polling, TrainingManager.cpp:88-92)
+
+Device work (selfplay, training, evaluation) is delegated to the jitted
+functions from selfplay/, training/train and eval/; this module owns files,
+schedules and promotion decisions only.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import json
+import os
+import signal
+import time
+from typing import Any, Callable
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from ..game.types import GameRules
+from ..game import vectorized as V
+from ..models import create_network
+from ..search import mcts
+from ..selfplay import SelfplayConfig, play_games, make_targets
+from ..data.replay import ReplayBuffer
+from . import train as T
+
+
+@dataclasses.dataclass
+class ManagerConfig:
+    """(reference: MasterLearningConfig + TrainingConfig,
+    utils/configs.hpp:188-255)"""
+
+    working_dir: str
+    rules: GameRules = GameRules.FREESTYLE
+    rows: int = 15
+    cols: int = 15
+    architecture: str = "ConvNextPVQMraw"
+    blocks: int = 6
+    filters: int = 64
+    games_per_iteration: int = 256
+    selfplay_batch: int = 256
+    num_simulations: int = 100
+    train_steps_per_iteration: int = 200
+    train_batch_size: int = 256
+    buffer_window: int = 20
+    swa_checkpoints: int = 10
+    learning_rate: float = 1e-3
+    gating_games: int = 64
+    use_gating: bool = False  # gating needs the eval module match runner
+    seed: int = 0
+
+
+class _SigintFlag:
+    """(reference: setupSignalHandler/hasCapturedSignal,
+    utils/os_utils.hpp:47-63)"""
+
+    def __init__(self):
+        self.hit = False
+        self._prev = signal.signal(signal.SIGINT, self._on)
+
+    def _on(self, *_):
+        self.hit = True
+
+    def restore(self):
+        signal.signal(signal.SIGINT, self._prev)
+
+
+class TrainingManager:
+    def __init__(self, cfg: ManagerConfig):
+        self.cfg = cfg
+        wd = cfg.working_dir
+        for sub in ("checkpoint", "train_buffer", "saved_state"):
+            os.makedirs(os.path.join(wd, sub), exist_ok=True)
+        self.metadata_path = os.path.join(wd, "metadata.json")
+        self.metadata = self._load_metadata()
+        self.tables = V.device_tables(cfg.rules)
+        self.net = create_network(cfg.architecture, cfg.blocks, cfg.filters)
+        self.rng = np.random.default_rng(cfg.seed)
+        self.buffer = ReplayBuffer(cfg.buffer_window)
+
+        self.variables = self._init_or_load_network()
+        self.train_cfg = T.TrainConfig(learning_rate=cfg.learning_rate)
+        self.state, self.tx = T.create_train_state(
+            self.net, self.variables, self.train_cfg
+        )
+        self._train_step = jax.jit(
+            T.make_train_step(self.net, self.tx, self.tables, self.train_cfg)
+        )
+        self._play = None  # compiled lazily (heavy)
+
+    # -- metadata / checkpoints -------------------------------------------
+
+    def _load_metadata(self) -> dict:
+        if os.path.exists(self.metadata_path):
+            with open(self.metadata_path) as fh:
+                return json.load(fh)
+        return {"last_checkpoint": -1, "best_checkpoint": -1, "learning_steps": 0}
+
+    def _save_metadata(self) -> None:
+        tmp = self.metadata_path + ".tmp"
+        with open(tmp, "w") as fh:
+            json.dump(self.metadata, fh, indent=2)
+        os.replace(tmp, self.metadata_path)
+
+    def checkpoint_path(self, n: int, swa: bool = False) -> str:
+        name = "network_swa.msgpack" if swa else f"network_{n}.msgpack"
+        return os.path.join(self.cfg.working_dir, "checkpoint", name)
+
+    def _init_or_load_network(self):
+        last = self.metadata["last_checkpoint"]
+        x = jnp.zeros(
+            (1, self.cfg.rows, self.cfg.cols, self.net.cfg.input_planes), jnp.float32
+        )
+        variables = self.net.init(jax.random.PRNGKey(self.cfg.seed), x, train=False)
+        if last >= 0 and os.path.exists(self.checkpoint_path(last)):
+            with open(self.checkpoint_path(last), "rb") as fh:
+                variables = serialization.from_bytes(variables, fh.read())
+        return variables
+
+    def save_checkpoint(self, n: int) -> None:
+        variables = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+        }
+        data = serialization.to_bytes(variables)
+        path = self.checkpoint_path(n)
+        with open(path + ".tmp", "wb") as fh:
+            fh.write(data)
+        os.replace(path + ".tmp", path)
+        self.metadata["last_checkpoint"] = n
+        if self.metadata["best_checkpoint"] < 0:
+            self.metadata["best_checkpoint"] = n
+        self._save_metadata()
+        self._save_swa(n)
+
+    def _save_swa(self, n: int) -> None:
+        """Average the last k checkpoints (reference: network_swa.bin from 10
+        checkpoints, TrainingManager.cpp:270-272)."""
+        paths = [
+            self.checkpoint_path(i)
+            for i in range(max(0, n - self.cfg.swa_checkpoints + 1), n + 1)
+        ]
+        paths = [p for p in paths if os.path.exists(p)]
+        if len(paths) < 2:
+            return
+        template = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+        }
+        loaded = []
+        for p in paths:
+            with open(p, "rb") as fh:
+                loaded.append(serialization.from_bytes(template, fh.read()))
+        avg = T.average_params([v["params"] for v in loaded])
+        swa = {"params": avg, "batch_stats": loaded[-1]["batch_stats"]}
+        with open(self.checkpoint_path(0, swa=True), "wb") as fh:
+            fh.write(serialization.to_bytes(swa))
+
+    # -- iteration phases --------------------------------------------------
+
+    def _net_apply(self, variables, planes):
+        return self.net.apply(variables, planes, train=False)
+
+    def generate_games(self, iteration: int) -> int:
+        """One selfplay generation -> replay buffer + buffer file
+        (reference: TrainingManager::generateGames + idempotent skip,
+        TrainingManager.cpp:175-225)."""
+        buf_path = os.path.join(
+            self.cfg.working_dir, "train_buffer", f"buffer_{iteration}.npz"
+        )
+        if os.path.exists(buf_path):
+            self.buffer.load_generation(iteration, buf_path)
+            return self.buffer.num_samples
+        cfg = self.cfg
+        if self._play is None:
+            mcfg = mcts.MCTSConfig(
+                max_nodes=cfg.num_simulations + 8,
+                max_edges=32,
+                max_depth=32,
+            )
+            scfg = SelfplayConfig(
+                num_simulations=cfg.num_simulations,
+                max_moves=min(cfg.rows * cfg.cols, 160),
+            )
+            self._play = jax.jit(
+                lambda v, k: play_games(
+                    self._net_apply,
+                    v,
+                    self.tables,
+                    mcfg,
+                    scfg,
+                    k,
+                    cfg.selfplay_batch,
+                    cfg.rows,
+                    cfg.cols,
+                )
+            )
+        variables = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+        }
+        total = 0
+        rounds = max(1, cfg.games_per_iteration // cfg.selfplay_batch)
+        for r in range(rounds):
+            key = jax.random.PRNGKey(self.rng.integers(2**31))
+            result = self._play(variables, key)
+            targets = make_targets(result, cfg.rows * cfg.cols)
+            total += self.buffer.add_generation(iteration * 1000 + r, targets)
+        self.buffer.save_generation(
+            max(self.buffer.generations), buf_path
+        )
+        with open(
+            os.path.join(self.cfg.working_dir, "buffer_stats.txt"), "a"
+        ) as fh:
+            fh.write(json.dumps({"iteration": iteration, **self.buffer.stats()}) + "\n")
+        return total
+
+    def train_iteration(self, iteration: int) -> dict:
+        """(reference: runIterationSL -> SupervisedLearning::train,
+        TrainingManager.cpp:226-273)"""
+        cfg = self.cfg
+        history = []
+        for batch_np in self.buffer.iter_batches(
+            cfg.train_batch_size, cfg.train_steps_per_iteration, self.rng
+        ):
+            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+            key = jax.random.PRNGKey(self.rng.integers(2**31))
+            self.state, parts = self._train_step(self.state, batch, key)
+            history.append({k: float(v) for k, v in parts.items()})
+        self.metadata["learning_steps"] += len(history)
+        mean = {
+            k: float(np.mean([h[k] for h in history])) for k in history[0]
+        } if history else {}
+        with open(
+            os.path.join(cfg.working_dir, "training_history.txt"), "a"
+        ) as fh:
+            fh.write(json.dumps({"iteration": iteration, **mean}) + "\n")
+        self.save_checkpoint(iteration)
+        return mean
+
+    def run_iteration_rl(self, iteration: int) -> dict:
+        """generateGames -> train (reference: runIterationRL,
+        TrainingManager.cpp:84-94)."""
+        sig = _SigintFlag()
+        try:
+            samples = self.generate_games(iteration)
+            if sig.hit:
+                return {"stopped": True, "samples": samples}
+            metrics = self.train_iteration(iteration)
+            return {"samples": samples, **metrics}
+        finally:
+            sig.restore()
+
+    def run(self, iterations: int) -> None:
+        start = self.metadata["last_checkpoint"] + 1
+        for i in range(start, start + iterations):
+            t0 = time.time()
+            metrics = self.run_iteration_rl(i)
+            if metrics.get("stopped"):
+                break
+            print(f"iteration {i}: {metrics} ({time.time()-t0:.1f}s)")
