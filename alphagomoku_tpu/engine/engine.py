@@ -1,0 +1,209 @@
+"""Search engine facade: position state + jitted search + summaries.
+
+Counterpart of the reference's SearchEngine/SearchThread
+(reference: src/player/SearchEngine.cpp, SearchThread.cpp): the
+multi-threaded shared-tree search collapses to repeated calls of the jitted
+batched search (batch 1 for protocol play), with the simulation budget
+grown chunk-wise so time controls can stop between chunks (the reference
+grows its batch as sqrt(simulations), SearchThread.cpp:23-27)."""
+
+from __future__ import annotations
+
+import time
+from typing import Any, NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from flax import serialization
+
+from ..game.types import CROSS, CIRCLE, Move, GameRules, GameOutcome, invert_sign
+from ..game import vectorized as V
+from ..models import create_network
+from ..search import mcts, score as S
+
+
+class SearchSummary(NamedTuple):
+    """(reference: player/SearchEngine.hpp SearchSummary)"""
+
+    best_move: Move
+    expectation: float
+    win_rate: float
+    draw_rate: float
+    simulations: int
+    nodes: int
+    time_used: float
+    principal_variation: list[Move]
+    proven: str  # "", "WIN", "LOSS", "DRAW"
+
+
+class Engine:
+    """One playing engine instance."""
+
+    def __init__(
+        self,
+        rules: GameRules = GameRules.FREESTYLE,
+        rows: int = 15,
+        cols: int = 15,
+        architecture: str = "ConvNextPVQMraw",
+        blocks: int = 6,
+        filters: int = 64,
+        checkpoint: str | None = None,
+        simulations: int = 400,
+        sim_chunk: int = 50,
+        seed: int = 0,
+    ):
+        self.rules = rules
+        self.rows, self.cols = rows, cols
+        self.simulations = simulations
+        self.sim_chunk = min(sim_chunk, simulations)
+        self.tables = V.device_tables(rules)
+        self.net = create_network(architecture, blocks, filters)
+        x = jnp.zeros((1, rows, cols, self.net.cfg.input_planes), jnp.float32)
+        self.variables = self.net.init(jax.random.PRNGKey(seed), x, train=False)
+        if checkpoint:
+            with open(checkpoint, "rb") as fh:
+                self.variables = serialization.from_bytes(self.variables, fh.read())
+        self.moves: list[Move] = []
+        self._mcfg = mcts.MCTSConfig(
+            max_nodes=simulations + 8, max_edges=32, max_depth=40
+        )
+        self._init_fn = jax.jit(self._make_init)
+        self._chunk_fn = jax.jit(self._make_chunk)
+        self._stop_requested = False
+
+    # -- jitted pieces -----------------------------------------------------
+
+    def _apply(self, v, planes):
+        return self.net.apply(v, planes, train=False)
+
+    def _make_init(self, variables, board, stm):
+        return mcts.init_root(
+            self._apply, variables, self.tables, self._mcfg, board, stm,
+            raw_input=self.net.cfg.raw_input,
+        )
+
+    def _make_chunk(self, variables, state):
+        sim = mcts.make_simulate_fn(
+            self._apply, self.tables, self._mcfg, self.net.cfg.raw_input
+        )
+
+        def step(s, _):
+            return sim(variables, s), None
+
+        state, _ = jax.lax.scan(step, state, None, length=self.sim_chunk)
+        return state
+
+    # -- position management ----------------------------------------------
+
+    def set_position(self, moves: list[Move]) -> None:
+        self.moves = list(moves)
+
+    def make_move(self, move: Move) -> None:
+        self.moves.append(move)
+
+    def board_array(self) -> np.ndarray:
+        board = np.zeros((self.rows, self.cols), np.int8)
+        for m in self.moves:
+            board[m.row, m.col] = m.sign
+        return board
+
+    def sign_to_move(self) -> int:
+        if not self.moves:
+            return CROSS
+        return invert_sign(self.moves[-1].sign)
+
+    def stop(self) -> None:
+        self._stop_requested = True
+
+    # -- search ------------------------------------------------------------
+
+    def search(self, time_budget: float | None = None) -> SearchSummary:
+        """Run the search on the current position.
+
+        Chunks of `sim_chunk` simulations run until the simulation target,
+        the time budget, or a proven root stops the search (reference stop
+        conditions: SearchThread.cpp:181-222)."""
+        self._stop_requested = False
+        t0 = time.monotonic()
+        board = jnp.asarray(self.board_array()[None])
+        stm_val = self.sign_to_move()
+        stm = jnp.full((1,), stm_val, jnp.int8)
+        state = self._init_fn(self.variables, board, stm)
+        sims = 0
+        while sims < self.simulations:
+            state = self._chunk_fn(self.variables, state)
+            sims += self.sim_chunk
+            root_score = np.asarray(state.tree.node_score[:, 0])[0]
+            if bool(S.is_proven(jnp.asarray(root_score))):
+                break
+            if time_budget is not None and time.monotonic() - t0 > time_budget:
+                break
+            if self._stop_requested:
+                break
+        return self._summarize(state, stm_val, sims, time.monotonic() - t0)
+
+    def _summarize(
+        self, state: mcts.SearchState, stm: int, sims: int, dt: float
+    ) -> SearchSummary:
+        move_flat = int(np.asarray(mcts.select_move(state))[0])
+        r, c = move_flat // self.cols, move_flat % self.cols
+        val = np.asarray(mcts.root_value(state))[0]
+        nodes = int(np.asarray(state.tree.node_count)[0])
+        root_score = int(np.asarray(state.tree.node_score[0, 0]))
+        pv_names = {0: "LOSS", 1: "DRAW", 3: "WIN"}
+        proven = ""
+        if bool(S.is_proven(jnp.asarray(np.uint16(root_score)))):
+            proven = pv_names.get(root_score >> 13, "")
+        pv = self._principal_variation(state)
+        return SearchSummary(
+            best_move=Move(row=r, col=c, sign=stm),
+            expectation=float(val[0] + 0.5 * val[1]),
+            win_rate=float(val[0]),
+            draw_rate=float(val[1]),
+            simulations=sims,
+            nodes=nodes,
+            time_used=dt,
+            principal_variation=pv,
+            proven=proven,
+        )
+
+    def _principal_variation(
+        self, state: mcts.SearchState, max_len: int = 10
+    ) -> list[Move]:
+        """Walk max-visit edges down the tree
+        (reference: SearchEngine::getSummary PV extraction via
+        BestEdgeSelector, SearchEngine.cpp:243-270)."""
+        tree = state.tree
+        ea = np.asarray(tree.edge_action[0])
+        ev = np.asarray(tree.edge_visits[0])
+        ec = np.asarray(tree.edge_child[0])
+        pv: list[Move] = []
+        node = 0
+        sign = self.sign_to_move()
+        for _ in range(max_len):
+            valid = ea[node] >= 0
+            if not valid.any() or ev[node].sum() == 0:
+                break
+            slot = int(np.where(valid, ev[node], -1).argmax())
+            a = int(ea[node, slot])
+            pv.append(Move(row=a // self.cols, col=a % self.cols, sign=sign))
+            sign = invert_sign(sign)
+            child = int(ec[node, slot])
+            if child < 0:
+                break
+            node = child
+        return pv
+
+    def forbidden_moves(self) -> list[Move]:
+        """Renju forbidden cells of the current position (for SHOWFORBID,
+        reference: ExtendedGomocupProtocol SHOWFORBID + YixinBoard
+        yxshowforbid)."""
+        if self.rules != GameRules.RENJU:
+            return []
+        board = jnp.asarray(self.board_array()[None])
+        plane = np.asarray(V.forbidden_plane(self.tables, board))[0]
+        return [
+            Move(row=int(r), col=int(c), sign=CROSS)
+            for r, c in zip(*np.nonzero(plane))
+        ]

@@ -1,0 +1,208 @@
+"""Program manager: the protocol <-> engine message pump.
+
+Counterpart of the reference's ProgramManager main loop
+(reference: src/player/ProgramManager.cpp:98-213): an async stdin listener
+feeds the protocol, which queues typed messages; the pump dispatches
+{START_PROGRAM, SET_OPTION, SET_POSITION, START_SEARCH, STOP_SEARCH,
+EXIT_PROGRAM}, runs searches with the TimeManager budget, and routes results
+back out through the protocol formatters."""
+
+from __future__ import annotations
+
+import sys
+from typing import IO
+
+from ..game.types import GameRules, Move
+from .engine import Engine
+from .gomocup import ExtendedGomocupProtocol, GomocupProtocol
+from .protocol import (
+    InputListener,
+    Message,
+    MessageQueue,
+    MessageType,
+    OutputSender,
+)
+from .time_manager import TimeManager
+
+
+class ProgramManager:
+    def __init__(
+        self,
+        protocol: str = "gomocup",
+        architecture: str = "ConvNextPVQMraw",
+        blocks: int = 6,
+        filters: int = 64,
+        checkpoint: str | None = None,
+        simulations: int = 400,
+        instream: IO[str] | None = None,
+        outstream: IO[str] | None = None,
+    ):
+        self.input_queue = MessageQueue()
+        self.output_queue = MessageQueue()
+        proto_cls = (
+            ExtendedGomocupProtocol if protocol == "extended" else GomocupProtocol
+        )
+        self.protocol = proto_cls(self.input_queue, self.output_queue)
+        # instream=None -> no reader thread; lines arrive via push_line
+        # (test mode); the launcher passes sys.stdin explicitly
+        self.listener = InputListener(instream)
+        out = outstream if outstream is not None else sys.stdout
+
+        def sink(line: str) -> None:
+            out.write(line + "\n")
+            out.flush()
+
+        self.sender = OutputSender(sink)
+        self.time_manager = TimeManager()
+
+        # engine options (reference: EngineSettings defaults,
+        # player/EngineSettings.hpp:34-93)
+        self.options: dict[str, str] = {
+            "rows": "15",
+            "columns": "15",
+            "rules": "FREESTYLE",
+            "time_for_turn": "5000",
+            "time_for_match": "120000",
+            "time_left": "120000",
+            "protocol_lag": "150",
+        }
+        self._arch = architecture
+        self._blocks = blocks
+        self._filters = filters
+        self._checkpoint = checkpoint
+        self._simulations = simulations
+        self.engine: Engine | None = None
+        self._running = True
+
+    # -- engine lifecycle --------------------------------------------------
+
+    def _setup_engine(self) -> Engine:
+        """(reference: ProgramManager::setup_engine, rebuild on option
+        change, ProgramManager.cpp:478-495)"""
+        if self.engine is None:
+            self.engine = Engine(
+                rules=GameRules.from_string(self.options["rules"]),
+                rows=int(self.options["rows"]),
+                cols=int(self.options["columns"]),
+                architecture=self._arch,
+                blocks=self._blocks,
+                filters=self._filters,
+                checkpoint=self._checkpoint,
+                simulations=self._simulations,
+            )
+        return self.engine
+
+    def _set_option(self, name: str, value: str) -> None:
+        old = self.options.get(name)
+        self.options[name] = value
+        if name in ("rows", "columns", "rules") and old != value:
+            self.engine = None  # reallocate on next search
+
+    # -- search dispatch ---------------------------------------------------
+
+    def _time_budget_s(self) -> float:
+        engine = self._setup_engine()
+        move_number = len(engine.moves)
+        tm = self.time_manager
+        budget_ms = tm.get_time_for_turn(
+            rules=engine.rules,
+            rows=engine.rows,
+            move_number=move_number,
+            expectation=0.5,
+            time_for_turn=float(self.options["time_for_turn"]),
+            time_left=float(self.options["time_left"]),
+            protocol_lag=float(self.options["protocol_lag"]),
+        )
+        return max(0.05, budget_ms / 1000.0)
+
+    def _start_search(self, mode: str) -> None:
+        engine = self._setup_engine()
+        if mode.startswith("bestmove"):
+            self.time_manager.start_timer()
+            summary = engine.search(self._time_budget_s())
+            self.time_manager.stop_timer()
+            self.output_queue.push(
+                Message(
+                    MessageType.INFO_MESSAGE,
+                    f"depth 1-{len(summary.principal_variation)} "
+                    f"ev {summary.expectation:.3f} n {summary.simulations} "
+                    f"n/s {int(summary.simulations / max(summary.time_used, 1e-9))} "
+                    f"tm {int(1000 * summary.time_used)} pv "
+                    + " ".join(m.text() for m in summary.principal_variation),
+                )
+            )
+            self.output_queue.push(Message(MessageType.BEST_MOVE, summary.best_move))
+        elif mode == "showforbid":
+            forbidden = engine.forbidden_moves()
+            text = " ".join(f"{m.row},{m.col}" for m in forbidden)
+            self.output_queue.push(
+                Message(MessageType.PLAIN_STRING, ("FORBID " + text).strip())
+            )
+        elif mode == "ponder":
+            pass  # pondering is a no-op without a persistent background search
+        elif mode.startswith("swap2") or mode.startswith("balance"):
+            # v1: swap decision by evaluation sign — play a move when ahead
+            summary = engine.search(self._time_budget_s())
+            if mode.startswith("swap2") and len(engine.moves) == 3:
+                if summary.expectation < 0.5:
+                    self.output_queue.push(Message(MessageType.PLAIN_STRING, "SWAP"))
+                    return
+            self.output_queue.push(Message(MessageType.BEST_MOVE, summary.best_move))
+
+    # -- the pump ----------------------------------------------------------
+
+    def process_message(self, msg: Message) -> None:
+        if msg.type == MessageType.START_PROGRAM:
+            pass
+        elif msg.type == MessageType.SET_OPTION:
+            self._set_option(*msg.data)
+        elif msg.type == MessageType.SET_POSITION:
+            self._setup_engine().set_position(msg.data)
+        elif msg.type == MessageType.START_SEARCH:
+            self._start_search(str(msg.data))
+        elif msg.type == MessageType.STOP_SEARCH:
+            if self.engine is not None:
+                self.engine.stop()
+        elif msg.type == MessageType.EXIT_PROGRAM:
+            self._running = False
+
+    def run_once(self) -> None:
+        """One pump tick: read one protocol line, dispatch queued messages,
+        flush output."""
+        self.protocol.process_input(self.listener)
+        while True:
+            msg = self.input_queue.try_pop()
+            if msg is None:
+                break
+            self.process_message(msg)
+        self.protocol.process_output(self.sender)
+
+    def run(self) -> None:
+        while self._running:
+            self.run_once()
+
+
+def main(argv: list[str] | None = None) -> None:
+    import argparse
+
+    p = argparse.ArgumentParser(description="AlphaGomoku TPU engine")
+    p.add_argument("--protocol", default="extended", choices=["gomocup", "extended"])
+    p.add_argument("--checkpoint", default=None)
+    p.add_argument("--arch", default="ConvNextPVQMraw")
+    p.add_argument("--blocks", type=int, default=6)
+    p.add_argument("--filters", type=int, default=64)
+    p.add_argument("--simulations", type=int, default=400)
+    args = p.parse_args(argv)
+    ProgramManager(
+        protocol=args.protocol,
+        architecture=args.arch,
+        blocks=args.blocks,
+        filters=args.filters,
+        checkpoint=args.checkpoint,
+        simulations=args.simulations,
+        instream=sys.stdin,
+    ).run()
+
+
+if __name__ == "__main__":
+    main()
