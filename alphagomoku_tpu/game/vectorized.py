@@ -380,14 +380,15 @@ def forbidden_plane(tables: RuleTables, board: jax.Array, depth: int = 2) -> jax
     naive threat is FORK_3x3 need per-cell resolution (rare), handled for up
     to 12 fork cells per board in one widened batched pass.
     """
+    from ..patterns import bitwise  # deferred: avoids import cycle at load
+
     board = jnp.asarray(board)
     bsz, h, w = board.shape
     if tables.rules != GameRules.RENJU:
         return jnp.zeros((bsz, h, w), bool)
     wins = windows_all(board)  # [B, 4, H, W]
-    pts = pattern_types(
-        tables, jnp.moveaxis(wins, 1, -1), jnp.zeros((bsz, h, w), bool)
-    )  # [B, H, W, 4]
+    # gather-free classification for the bulk all-cells path
+    pts, _ = bitwise.classify(jnp.moveaxis(wins, 1, -1), GameRules(tables.rules))
     threat = threat_type(tables, pts, jnp.zeros((bsz, h, w), bool))
     empty = board == NONE
     hard = empty & ((threat == T.TT_OVERLINE) | (threat == T.TT_FORK_4x4))

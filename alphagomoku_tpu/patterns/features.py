@@ -29,6 +29,7 @@ import numpy as np
 
 from ..game.types import NONE, CROSS, CIRCLE, GameRules
 from ..game import vectorized as V
+from ..patterns import bitwise
 from ..patterns import tables as T
 from ..utils import augment
 
@@ -47,9 +48,10 @@ def encode(
     own_is_cross = (sign_to_move == CROSS)[:, None, None]  # [B,1,1]
 
     wins = jnp.moveaxis(V.windows_all(board), 1, -1)  # [B, H, W, 4]
-    bhw_false = jnp.zeros((bsz, h, w), bool)
-    pt_cross = V.pattern_types(tables, wins, bhw_false)  # [B, H, W, 4]
-    pt_circle = V.pattern_types(tables, wins, ~bhw_false)
+    # gather-free classification (patterns.bitwise): the table-lookup path
+    # costs ~2 random gathers per cell-direction, which dominates bulk
+    # encoding on TPU; the compiled bit math is pure fused VPU work
+    pt_cross, pt_circle = bitwise.classify(wins, GameRules(tables.rules))
 
     def player_group(pts: jax.Array) -> jax.Array:
         """12-bit per-player group from directional PatternTypes [..., 4]:

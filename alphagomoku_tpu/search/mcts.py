@@ -261,12 +261,16 @@ def make_simulate_fn(
     tables: V.RuleTables,
     cfg: MCTSConfig,
     raw_input: bool = True,
+    profile_cutoff: str | None = None,
 ):
     """Build the jittable one-simulation step: (variables, state) -> state.
 
     One batched simulation across all B trees: PUCT descent carrying the
     board, terminal check, NN evaluation, expansion, and masked backup along
-    the recorded path (reference pipeline: Search.cpp:117-232)."""
+    the recorded path (reference pipeline: Search.cpp:117-232).
+
+    profile_cutoff in {"select", "evaluate", "expand"} truncates the step
+    after that phase (dev-only, for attributing step cost on hardware)."""
 
     D = cfg.max_depth
     K = cfg.max_edges
@@ -335,6 +339,10 @@ def make_simulate_fn(
         last_node = jnp.where(steps > 0, pn_t[b, last_i], NULL)
         last_slot = jnp.where(steps > 0, ps_t[b, last_i], 0)
 
+        if profile_cutoff == "select":
+            dep = steps + leaf + last_node + sim_board.sum((1, 2)).astype(jnp.int32)
+            return state._replace(sims_done=state.sims_done + 1 + dep * 0)
+
         # ------------------------------------------------------------------
         # TERMINAL CHECK of the newly reached position (only meaningful where
         # we stepped onto an unexpanded edge)
@@ -369,6 +377,15 @@ def make_simulate_fn(
             jnp.where(revisit_proven, tree.node_score[b, leaf], S.zero()),
         )
         start_ml = moves_left
+
+        if profile_cutoff == "evaluate":
+            dep = (
+                start_value.sum(-1)
+                + policy.sum((1, 2))
+                + q_expect.sum((1, 2))
+                + start_score.astype(jnp.float32)
+            )
+            return state._replace(sims_done=state.sims_done + 1 + dep.astype(jnp.int32) * 0)
 
         # ------------------------------------------------------------------
         # EXPAND (reference: Tree::expand, Tree.cpp:257-298)
@@ -438,6 +455,12 @@ def make_simulate_fn(
             )
         )
 
+        if profile_cutoff == "expand":
+            dep = tree.node_count + tree.edge_child[:, 0, 0]
+            return state._replace(
+                tree=tree, sims_done=state.sims_done + 1 + dep * 0
+            )
+
         # leaf-node stat update for non-expanding visits (revisits of proven
         # nodes / depth cutoffs); reference backup touches every traced node
         leaf_touch = (~need_expand) & (steps > 0)
@@ -477,10 +500,16 @@ def make_simulate_fn(
         ml_bd = start_ml[:, None] + flips.astype(jnp.float32)
         vsel = jnp.where(valid_bd[..., None], val_bd, 0.0)
 
+        # edge updates go in as FULL-ROW adds (zero outside the chosen slot):
+        # a [1, K]-window scatter lowers to efficient dynamic-slice updates on
+        # TPU, whereas per-element scatters can serialize
+        k_iota_row = jnp.arange(K, dtype=jnp.int32)[None, None, :]  # [1,1,K]
+        slot_hit = (k_iota_row == sl_bd[..., None]) & valid_bd[..., None]  # [B,D,K]
+        ev_rows_add = jnp.where(slot_hit[..., None], val_bd[:, :, None, :], 0.0)
         tree = tree._replace(
-            edge_value_sum=tree.edge_value_sum.at[bb, nd_bd, sl_bd].add(vsel),
-            edge_visits=tree.edge_visits.at[bb, nd_bd, sl_bd].add(
-                valid_bd.astype(jnp.int32)
+            edge_value_sum=tree.edge_value_sum.at[bb, nd_bd].add(ev_rows_add),
+            edge_visits=tree.edge_visits.at[bb, nd_bd].add(
+                slot_hit.astype(jnp.int32)
             ),
             node_visits=tree.node_visits.at[bb, nd_bd].add(valid_bd.astype(jnp.int32)),
             node_value_sum=tree.node_value_sum.at[bb, nd_bd].add(vsel),
@@ -522,16 +551,26 @@ def make_simulate_fn(
         # outputs are ordered leaf->root; map back to path order
         e_new_bd = e_new_all[::-1].T  # [B, D]
         ns_new_bd = ns_new_all[::-1].T
-        # invalid entries are routed out of bounds and dropped, so they can
-        # never collide with a genuine update to node 0 / slot 0
-        nd_oob = jnp.where(valid_bd, pn_t, tree.capacity)
+        # writes expressed as row-granular DELTA adds: new = old + (new-old)
+        # at the slot position, zero elsewhere (same windowed-scatter shape
+        # as phase A; uint16 wraparound makes the delta-add exact)
+        e_old_bd = jnp.take_along_axis(
+            es_rows, sl_bd[..., None], -1
+        )[..., 0]  # [B, D] pre-update values at the path slots
+        e_delta = (
+            e_new_bd.astype(jnp.int32) - e_old_bd.astype(jnp.int32)
+        ) & 0xFFFF
+        e_delta = jnp.where(valid_bd, e_delta, 0).astype(jnp.uint16)
+        e_delta_rows = jnp.where(
+            k_iota_row == sl_bd[..., None], e_delta[..., None], jnp.uint16(0)
+        )
+        ns_delta = (
+            ns_new_bd.astype(jnp.int32) - ns_rows.astype(jnp.int32)
+        ) & 0xFFFF
+        ns_delta = jnp.where(valid_bd, ns_delta, 0).astype(jnp.uint16)
         tree = tree._replace(
-            edge_score=tree.edge_score.at[bb, nd_oob, sl_bd].set(
-                e_new_bd.astype(jnp.uint16), mode="drop"
-            ),
-            node_score=tree.node_score.at[bb, nd_oob].set(
-                ns_new_bd.astype(jnp.uint16), mode="drop"
-            ),
+            edge_score=tree.edge_score.at[bb, nd_bd].add(e_delta_rows),
+            node_score=tree.node_score.at[bb, nd_bd].add(ns_delta),
         )
 
         return SearchState(

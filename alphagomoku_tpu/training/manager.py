@@ -105,6 +105,7 @@ class TrainingManager:
             T.make_train_step(self.net, self.tx, self.tables, self.train_cfg)
         )
         self._play = None  # compiled lazily (heavy)
+        self._play_sims = 0
 
     # -- metadata / checkpoints -------------------------------------------
 
@@ -190,14 +191,25 @@ class TrainingManager:
             self.buffer.load_generation(iteration, buf_path)
             return self.buffer.num_samples
         cfg = self.cfg
-        if self._play is None:
+        # draw-rate-based dynamic simulation reduction (reference:
+        # get_simulations_for_move, misc.cpp:171, GameGenerator.cpp:97-99) —
+        # quantized to quarters so the jit cache stays small
+        from ..utils.misc import get_simulations_for_move
+
+        draw_rate = self.buffer.stats()["draw_rate"] if self.buffer.num_samples else 0.0
+        sims = get_simulations_for_move(
+            draw_rate, cfg.num_simulations, max(8, cfg.num_simulations // 4)
+        )
+        quantum = max(1, cfg.num_simulations // 4)
+        sims = max(quantum, (sims // quantum) * quantum)
+        if self._play is None or self._play_sims != sims:
             mcfg = mcts.MCTSConfig(
-                max_nodes=cfg.num_simulations + 8,
+                max_nodes=sims + 8,
                 max_edges=32,
                 max_depth=32,
             )
             scfg = SelfplayConfig(
-                num_simulations=cfg.num_simulations,
+                num_simulations=sims,
                 max_moves=min(cfg.rows * cfg.cols, 160),
             )
             self._play = jax.jit(
@@ -213,6 +225,7 @@ class TrainingManager:
                     cfg.cols,
                 )
             )
+            self._play_sims = sims
         variables = {
             "params": self.state.params,
             "batch_stats": self.state.batch_stats,
