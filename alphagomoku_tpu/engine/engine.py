@@ -20,7 +20,7 @@ from flax import serialization
 from ..game.types import CROSS, CIRCLE, Move, GameRules, GameOutcome, invert_sign
 from ..game import vectorized as V
 from ..models import create_network
-from ..search import mcts, score as S
+from ..search import mcts, score as S, vcf
 
 
 class SearchSummary(NamedTuple):
@@ -70,6 +70,9 @@ class Engine:
         )
         self._init_fn = jax.jit(self._make_init)
         self._chunk_fn = jax.jit(self._make_chunk)
+        self._vcf_fn = jax.jit(
+            lambda b, s: vcf.solve(self.tables, b, s, max_depth=10, max_steps=192)
+        )
         self._stop_requested = False
 
     # -- jitted pieces -----------------------------------------------------
@@ -129,6 +132,26 @@ class Engine:
         board = jnp.asarray(self.board_array()[None])
         stm_val = self.sign_to_move()
         stm = jnp.full((1,), stm_val, jnp.int8)
+
+        # root pre-solve: a proven VCF line short-circuits the tree search
+        # (reference: AlphaBetaSearch::solve before NN scheduling,
+        # Search.cpp:159-183)
+        res = self._vcf_fn(board, stm)
+        if bool(np.asarray(res.win)[0]):
+            mv = int(np.asarray(res.best_move)[0])
+            dist = int(np.asarray(res.distance)[0])
+            return SearchSummary(
+                best_move=Move(row=mv // self.cols, col=mv % self.cols, sign=stm_val),
+                expectation=1.0,
+                win_rate=1.0,
+                draw_rate=0.0,
+                simulations=0,
+                nodes=0,
+                time_used=time.monotonic() - t0,
+                principal_variation=[],
+                proven=f"WIN in {dist}",
+            )
+
         state = self._init_fn(self.variables, board, stm)
         sims = 0
         while sims < self.simulations:

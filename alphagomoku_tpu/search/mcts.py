@@ -301,9 +301,12 @@ def make_simulate_fn(
             take = ~stop_here
             r = jnp.clip(jnp.where(take, action, 0) // w, 0, h - 1)
             c = jnp.clip(jnp.where(take, action, 0) % w, 0, w - 1)
-            boardc = jnp.where(
-                take[:, None, None], boardc.at[b, r, c].set(stm), boardc
+            cell_mask = (
+                (jnp.arange(h, dtype=jnp.int32)[None, :, None] == r[:, None, None])
+                & (jnp.arange(w, dtype=jnp.int32)[None, None, :] == c[:, None, None])
+                & take[:, None, None]
             )
+            boardc = jnp.where(cell_mask, stm[:, None, None], boardc)
             move_r = jnp.where(take, r, move_r)
             move_c = jnp.where(take, c, move_c)
             new_stm = jnp.where(
@@ -425,13 +428,24 @@ def make_simulate_fn(
             start_value,
         )
 
+        # writes are full-array one-hot selects: TPU scatters at per-batch
+        # row indices serialize over the batch, while a masked select is one
+        # streaming pass over a contiguous array
+        n_iota = jnp.arange(tree.capacity, dtype=jnp.int32)[None, :]  # [1, N]
+        row_mask = (n_iota == new_idx[:, None]) & do_expand[:, None]  # [B, N]
+
         def upd(arr, value_new):
-            old = arr[b, new_idx]
-            mask = do_expand.reshape((-1,) + (1,) * (old.ndim - 1))
-            return arr.at[b, new_idx].set(jnp.where(mask, value_new, old))
+            extra = arr.ndim - 2
+            m = row_mask.reshape(row_mask.shape + (1,) * extra)
+            v = jnp.asarray(value_new)
+            if v.ndim <= 1:
+                v = v.reshape((-1, 1) + (1,) * extra)
+            else:
+                v = v.reshape((bsz, 1) + v.shape[1:])
+            return jnp.where(m, v, arr)
 
         tree = tree._replace(
-            node_visits=upd(tree.node_visits, 1),
+            node_visits=upd(tree.node_visits, jnp.ones(bsz, jnp.int32)),
             node_value_sum=upd(tree.node_value_sum, start_value),
             node_score=upd(tree.node_score, new_node_score),
             node_moves_left_sum=upd(tree.node_moves_left_sum, moves_left),
@@ -445,14 +459,15 @@ def make_simulate_fn(
             edge_q_init=upd(tree.edge_q_init, q_init),
             node_count=tree.node_count + do_expand.astype(jnp.int32),
         )
-        # link the parent edge to the new node
-        link_node = jnp.where(do_expand, last_node, 0)
+        # link the parent edge to the new node (one-hot select)
+        link_node = jnp.where(do_expand, last_node, NULL)
         link_slot = jnp.where(do_expand, last_slot, 0)
-        old_child = tree.edge_child[b, link_node, link_slot]
+        k_iota_b = jnp.arange(K, dtype=jnp.int32)[None, :]
+        link_mask = (n_iota == link_node[:, None])[:, :, None] & (
+            k_iota_b == link_slot[:, None]
+        )[:, None, :]
         tree = tree._replace(
-            edge_child=tree.edge_child.at[b, link_node, link_slot].set(
-                jnp.where(do_expand, new_idx, old_child)
-            )
+            edge_child=jnp.where(link_mask, new_idx[:, None, None], tree.edge_child)
         )
 
         if profile_cutoff == "expand":
@@ -464,14 +479,13 @@ def make_simulate_fn(
         # leaf-node stat update for non-expanding visits (revisits of proven
         # nodes / depth cutoffs); reference backup touches every traced node
         leaf_touch = (~need_expand) & (steps > 0)
+        leaf_mask = (n_iota == leaf[:, None]) & leaf_touch[:, None]  # [B, N]
         tree = tree._replace(
-            node_visits=tree.node_visits.at[b, leaf].add(leaf_touch.astype(jnp.int32)),
-            node_value_sum=tree.node_value_sum.at[b, leaf].add(
-                jnp.where(leaf_touch[:, None], start_value, 0.0)
-            ),
-            node_moves_left_sum=tree.node_moves_left_sum.at[b, leaf].add(
-                jnp.where(leaf_touch, start_ml, 0.0)
-            ),
+            node_visits=tree.node_visits + leaf_mask.astype(jnp.int32),
+            node_value_sum=tree.node_value_sum
+            + jnp.where(leaf_mask[..., None], start_value[:, None, :], 0.0),
+            node_moves_left_sum=tree.node_moves_left_sum
+            + jnp.where(leaf_mask, start_ml[:, None], 0.0),
         )
 
         # ------------------------------------------------------------------
@@ -500,22 +514,34 @@ def make_simulate_fn(
         ml_bd = start_ml[:, None] + flips.astype(jnp.float32)
         vsel = jnp.where(valid_bd[..., None], val_bd, 0.0)
 
-        # edge updates go in as FULL-ROW adds (zero outside the chosen slot):
-        # a [1, K]-window scatter lowers to efficient dynamic-slice updates on
-        # TPU, whereas per-element scatters can serialize
+        # updates become dense deltas via one-hot einsum on the MXU, then one
+        # streaming add per array (scatters at per-batch indices serialize on
+        # TPU).  Path nodes are distinct within a path, so every (node, slot)
+        # receives at most one contribution and integer sums stay exact.
         k_iota_row = jnp.arange(K, dtype=jnp.int32)[None, None, :]  # [1,1,K]
         slot_hit = (k_iota_row == sl_bd[..., None]) & valid_bd[..., None]  # [B,D,K]
         ev_rows_add = jnp.where(slot_hit[..., None], val_bd[:, :, None, :], 0.0)
+        onehot_nd = (
+            (n_iota[:, None, :] == nd_bd[:, :, None]) & valid_bd[..., None]
+        ).astype(jnp.float32)  # [B, D, N]
+
+        delta_ev = jnp.einsum("bdn,bdkc->bnkc", onehot_nd, ev_rows_add)
+        delta_evis = jnp.einsum(
+            "bdn,bdk->bnk", onehot_nd, slot_hit.astype(jnp.float32)
+        )
+        delta_nvis = jnp.einsum(
+            "bdn,bd->bn", onehot_nd, valid_bd.astype(jnp.float32)
+        )
+        delta_nval = jnp.einsum("bdn,bdc->bnc", onehot_nd, vsel)
+        delta_nml = jnp.einsum(
+            "bdn,bd->bn", onehot_nd, jnp.where(valid_bd, ml_bd, 0.0)
+        )
         tree = tree._replace(
-            edge_value_sum=tree.edge_value_sum.at[bb, nd_bd].add(ev_rows_add),
-            edge_visits=tree.edge_visits.at[bb, nd_bd].add(
-                slot_hit.astype(jnp.int32)
-            ),
-            node_visits=tree.node_visits.at[bb, nd_bd].add(valid_bd.astype(jnp.int32)),
-            node_value_sum=tree.node_value_sum.at[bb, nd_bd].add(vsel),
-            node_moves_left_sum=tree.node_moves_left_sum.at[bb, nd_bd].add(
-                jnp.where(valid_bd, ml_bd, 0.0)
-            ),
+            edge_value_sum=tree.edge_value_sum + delta_ev,
+            edge_visits=tree.edge_visits + jnp.round(delta_evis).astype(jnp.int32),
+            node_visits=tree.node_visits + jnp.round(delta_nvis).astype(jnp.int32),
+            node_value_sum=tree.node_value_sum + delta_nval,
+            node_moves_left_sum=tree.node_moves_left_sum + delta_nml,
         )
 
         # phase B: proven-score minimax over the gathered path rows
@@ -551,26 +577,40 @@ def make_simulate_fn(
         # outputs are ordered leaf->root; map back to path order
         e_new_bd = e_new_all[::-1].T  # [B, D]
         ns_new_bd = ns_new_all[::-1].T
-        # writes expressed as row-granular DELTA adds: new = old + (new-old)
-        # at the slot position, zero elsewhere (same windowed-scatter shape
-        # as phase A; uint16 wraparound makes the delta-add exact)
+        # score writes as dense mod-2^16 DELTA adds via the same one-hot
+        # einsum; deltas split into exact hi/lo bytes so the matmul passes
+        # stay integer-exact regardless of matmul precision
         e_old_bd = jnp.take_along_axis(
             es_rows, sl_bd[..., None], -1
         )[..., 0]  # [B, D] pre-update values at the path slots
         e_delta = (
             e_new_bd.astype(jnp.int32) - e_old_bd.astype(jnp.int32)
         ) & 0xFFFF
-        e_delta = jnp.where(valid_bd, e_delta, 0).astype(jnp.uint16)
-        e_delta_rows = jnp.where(
-            k_iota_row == sl_bd[..., None], e_delta[..., None], jnp.uint16(0)
-        )
+        e_delta = jnp.where(valid_bd, e_delta, 0)
         ns_delta = (
             ns_new_bd.astype(jnp.int32) - ns_rows.astype(jnp.int32)
         ) & 0xFFFF
-        ns_delta = jnp.where(valid_bd, ns_delta, 0).astype(jnp.uint16)
+        ns_delta = jnp.where(valid_bd, ns_delta, 0)
+
+        def byte_einsum(delta_bd, rows: bool):
+            """Exact [B, N(, K)] uint16 delta from per-path deltas [B, D]."""
+            hi = (delta_bd >> 8).astype(jnp.float32)
+            lo = (delta_bd & 0xFF).astype(jnp.float32)
+            if rows:
+                hi = jnp.where(k_iota_row == sl_bd[..., None], hi[..., None], 0.0)
+                lo = jnp.where(k_iota_row == sl_bd[..., None], lo[..., None], 0.0)
+                out = jnp.einsum("bdn,bdk->bnk", onehot_nd, hi) * 256.0 + jnp.einsum(
+                    "bdn,bdk->bnk", onehot_nd, lo
+                )
+            else:
+                out = jnp.einsum("bdn,bd->bn", onehot_nd, hi) * 256.0 + jnp.einsum(
+                    "bdn,bd->bn", onehot_nd, lo
+                )
+            return jnp.round(out).astype(jnp.uint16)
+
         tree = tree._replace(
-            edge_score=tree.edge_score.at[bb, nd_bd].add(e_delta_rows),
-            node_score=tree.node_score.at[bb, nd_bd].add(ns_delta),
+            edge_score=tree.edge_score + byte_einsum(e_delta, rows=True),
+            node_score=tree.node_score + byte_einsum(ns_delta, rows=False),
         )
 
         return SearchState(
