@@ -111,6 +111,35 @@ def windows_at(
     return jnp.stack(wins, axis=-1)
 
 
+def windows_at_one(board: jax.Array, rows: jax.Array, cols: jax.Array) -> jax.Array:
+    """Packed windows for ONE query cell per board: [B, H, W] + [B] -> [B, 4].
+
+    Gather-free: computes all windows (cheap fused shifts) and reduces with a
+    one-hot plane — per-batch-row gathers serialize on TPU, a masked reduce
+    streams.  Equivalent to windows_at(board, rows[:, None], cols[:, None])
+    squeezed, for in-bounds queries."""
+    bsz, h, w = board.shape
+    wins = windows_all(board)  # [B, 4, H, W]
+    mask = (
+        (jnp.arange(h, dtype=jnp.int32)[None, :, None] == rows[:, None, None])
+        & (jnp.arange(w, dtype=jnp.int32)[None, None, :] == cols[:, None, None])
+    )[:, None, :, :]
+    return jnp.where(mask, wins, jnp.uint32(0)).sum((2, 3), dtype=jnp.uint32)
+
+
+def windows_at_many(board: jax.Array, rows: jax.Array, cols: jax.Array) -> jax.Array:
+    """Packed windows for Q query cells per board: [B, H, W] + [B, Q] ->
+    [B, Q, 4] via a one-hot masked reduce (gather-free; see windows_at_one).
+    Out-of-range queries (clipped by the caller) return whatever cell they
+    alias — callers mask validity themselves, as with windows_at."""
+    bsz, h, w = board.shape
+    wins = windows_all(board).reshape(bsz, 4, h * w)  # [B, 4, HW]
+    flat = rows * w + cols  # [B, Q]
+    onehot = flat[:, :, None] == jnp.arange(h * w, dtype=jnp.int32)[None, None, :]
+    sel = jnp.where(onehot[:, :, None, :], wins[:, None, :, :], jnp.uint32(0))
+    return sel.sum(-1, dtype=jnp.uint32)  # [B, Q, 4]
+
+
 def windows_all(board: jax.Array) -> jax.Array:
     """Packed 22-bit windows for EVERY cell: [B, H, W] -> [B, 4, H, W] uint32.
 
@@ -284,7 +313,7 @@ def outcome_after(
     `move_count` counts stones including this move."""
     bsz = board.shape[0]
     is_circle = signs == CIRCLE
-    windows = windows_at(board, rows, cols)
+    windows = windows_at_one(board, rows, cols)
     pts = pattern_types(tables, windows, is_circle)
     five = jnp.any(pts == T.PT_FIVE, axis=-1)
     win = jnp.where(is_circle, int(GameOutcome.CIRCLE_WIN), int(GameOutcome.CROSS_WIN))

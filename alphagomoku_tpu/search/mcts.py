@@ -59,6 +59,8 @@ class MCTSConfig(NamedTuple):
     policy_expansion_temperature: float = 1.0
     noise_weight: float = 0.0  # dirichlet noise at root (selfplay)
     noise_alpha: float = 0.1
+    leaf_batch: int = 1  # simulations selected per step under virtual loss
+    # (reference: SearchTaskList batching, Search.hpp:56-96)
 
 
 class Tree(NamedTuple):
@@ -73,13 +75,13 @@ class Tree(NamedTuple):
     node_score: jax.Array  # [B, N] uint16 packed Score
     node_moves_left_sum: jax.Array  # [B, N] f32
     node_complete: jax.Array  # [B, N] bool: edges cover ALL legal moves
-    edge_action: jax.Array  # [B, N, K] int32 (r*W + c; -1 empty slot)
-    edge_child: jax.Array  # [B, N, K] int32 (-1 unexpanded)
-    edge_prior: jax.Array  # [B, N, K] f32
+    edge_action: jax.Array  # [B, N, K] int16 (r*W + c; -1 empty slot)
+    edge_child: jax.Array  # [B, N, K] int16 (-1 unexpanded)
+    edge_prior: jax.Array  # [B, N, K] bf16
     edge_visits: jax.Array  # [B, N, K] int32
     edge_value_sum: jax.Array  # [B, N, K, 2] f32
     edge_score: jax.Array  # [B, N, K] uint16
-    edge_q_init: jax.Array  # [B, N, K] f32 (q-head prior expectation)
+    edge_q_init: jax.Array  # [B, N, K] bf16 (q-head prior expectation)
     node_count: jax.Array  # [B] int32
 
     @property
@@ -99,13 +101,13 @@ def init_tree(batch: int, cfg: MCTSConfig) -> Tree:
         node_score=jnp.full((batch, n), S.zero()),
         node_moves_left_sum=jnp.zeros((batch, n), jnp.float32),
         node_complete=jnp.zeros((batch, n), bool),
-        edge_action=jnp.full((batch, n, k), NULL),
-        edge_child=jnp.full((batch, n, k), NULL),
-        edge_prior=jnp.zeros((batch, n, k), jnp.float32),
+        edge_action=jnp.full((batch, n, k), -1, jnp.int16),
+        edge_child=jnp.full((batch, n, k), -1, jnp.int16),
+        edge_prior=jnp.zeros((batch, n, k), jnp.bfloat16),
         edge_visits=jnp.zeros((batch, n, k), jnp.int32),
         edge_value_sum=jnp.zeros((batch, n, k, 2), jnp.float32),
         edge_score=jnp.full((batch, n, k), S.zero()),
-        edge_q_init=jnp.zeros((batch, n, k), jnp.float32),
+        edge_q_init=jnp.zeros((batch, n, k), jnp.bfloat16),
         node_count=jnp.zeros(batch, jnp.int32),
     )
 
@@ -116,10 +118,15 @@ def init_tree(batch: int, cfg: MCTSConfig) -> Tree:
 
 
 def _edge_utility(
-    tree: Tree, cfg: MCTSConfig, node: jax.Array, prior: jax.Array
+    tree: Tree,
+    cfg: MCTSConfig,
+    node: jax.Array,
+    prior: jax.Array,
+    vl: jax.Array | None = None,
 ) -> jax.Array:
     """PUCT utility [B, K] for the edges of `node` [B]
-    (reference: EdgeSelector.cpp:389-424)."""
+    (reference: EdgeSelector.cpp:389-424).  `vl` [B, K] counts virtual
+    visits from other in-flight leaf selections."""
     b = jnp.arange(tree.batch)
     visits = tree.edge_visits[b, node]
     vsum = tree.edge_value_sum[b, node]
@@ -141,10 +148,21 @@ def _edge_utility(
     elif cfg.init_to == "draw":
         q_init = jnp.full_like(expectation, 0.5)
     elif cfg.init_to == "q_head":
-        q_init = tree.edge_q_init[b, node]
+        q_init = tree.edge_q_init[b, node].astype(jnp.float32)
     else:  # loss
         q_init = jnp.zeros_like(expectation)
     q = jnp.where(visits > 0, expectation, q_init)
+
+    if vl is not None:
+        # virtual loss across the in-flight leaf batch (reference: Edge
+        # virtual_loss + is_being_expanded, Edge.hpp:25,148-151): virtual
+        # visits count as losses, and an unvisited edge already being
+        # expanded by an earlier sub-simulation is strongly avoided
+        vlf = vl.astype(jnp.float32)
+        q = q * nf / jnp.maximum(nf + vlf, 1.0)
+        q = jnp.where((visits == 0) & (vl > 0), -1000.0, q)
+        n_parent = n_parent + vlf.sum(-1)
+        nf = nf + vlf
 
     u = prior * (c_puct * jnp.sqrt(n_parent))[:, None] / (1.0 + nf)
     util = q + u
@@ -158,10 +176,16 @@ def _edge_utility(
 
 
 def select_edge(
-    tree: Tree, cfg: MCTSConfig, node: jax.Array, prior: jax.Array
+    tree: Tree,
+    cfg: MCTSConfig,
+    node: jax.Array,
+    prior: jax.Array,
+    vl: jax.Array | None = None,
 ) -> jax.Array:
     """Best edge slot [B] of `node` [B] by PUCT."""
-    return jnp.argmax(_edge_utility(tree, cfg, node, prior), axis=-1).astype(jnp.int32)
+    return jnp.argmax(_edge_utility(tree, cfg, node, prior, vl), axis=-1).astype(
+        jnp.int32
+    )
 
 
 # ---------------------------------------------------------------------------
@@ -263,278 +287,433 @@ def make_simulate_fn(
     raw_input: bool = True,
     profile_cutoff: str | None = None,
 ):
-    """Build the jittable one-simulation step: (variables, state) -> state.
+    """Build the jittable one-step simulation batch: (variables, state) ->
+    state, advancing every tree by `cfg.leaf_batch` simulations.
 
-    One batched simulation across all B trees: PUCT descent carrying the
-    board, terminal check, NN evaluation, expansion, and masked backup along
-    the recorded path (reference pipeline: Search.cpp:117-232).
+    Per step: S sequential PUCT descents under virtual loss (the in-flight
+    leaf batch of the reference's SearchTaskList, Search.hpp:56-96), ONE
+    fused NN evaluation over all S x B reached positions, a deduplicated
+    batch expansion, and backup of all paths (visit/value statistics in one
+    one-hot einsum over the concatenated paths; the sequential proven-score
+    minimax runs per sub-simulation so later proofs see earlier ones).
 
     profile_cutoff in {"select", "evaluate", "expand"} truncates the step
     after that phase (dev-only, for attributing step cost on hardware)."""
 
     D = cfg.max_depth
     K = cfg.max_edges
+    NSIM = max(1, cfg.leaf_batch)
+
+    class _Sub(NamedTuple):
+        leaf: jax.Array  # [B]
+        sim_board: jax.Array  # [B, H, W]
+        leaf_stm: jax.Array  # [B]
+        steps: jax.Array  # [B]
+        need_expand: jax.Array  # [B]
+        last_r: jax.Array
+        last_c: jax.Array
+        pn_t: jax.Array  # [B, D]
+        ps_t: jax.Array  # [B, D]
+        last_node: jax.Array
+        last_slot: jax.Array
 
     def simulate(variables: Any, state: SearchState) -> SearchState:
         tree = state.tree
         bsz = tree.batch
         h, w = state.root_board.shape[1], state.root_board.shape[2]
         b = jnp.arange(bsz)
+        n_iota = jnp.arange(tree.capacity, dtype=jnp.int32)[None, :]  # [1, N]
+        k_iota = jnp.arange(K, dtype=jnp.int32)
 
         # ------------------------------------------------------------------
-        # SELECT (reference: Tree::select walk, Tree.cpp:226-251)
+        # SELECT: S descents, each seeing the previous paths as virtual loss
+        # (reference: Tree::select + SearchTaskList batching,
+        # Tree.cpp:226-251, Search.cpp:117-158)
         # ------------------------------------------------------------------
-        def descend(carry, _):
-            cur, boardc, stm, steps, done, need_expand, move_r, move_c = carry
-            prior = jnp.where(
-                (cur == 0)[:, None], state.noisy_prior, tree.edge_prior[b, cur]
-            )
-            slot = select_edge(tree, cfg, cur, prior)
-            action = tree.edge_action[b, cur, slot]
-            child = tree.edge_child[b, cur, slot]
-            # stop BEFORE stepping at: proven nodes (revisit, reference
-            # REACHED_PROVEN_EDGE), edge-less nodes (capacity-overflow leaves)
-            no_edges = tree.edge_action[b, cur, 0] == NULL
-            proven = S.is_proven(tree.node_score[b, cur])
-            stop_here = done | no_edges | proven
+        def one_descent(prev_nodes, prev_slots) -> _Sub:
+            P = prev_nodes.shape[1]
 
-            take = ~stop_here
-            r = jnp.clip(jnp.where(take, action, 0) // w, 0, h - 1)
-            c = jnp.clip(jnp.where(take, action, 0) % w, 0, w - 1)
-            cell_mask = (
-                (jnp.arange(h, dtype=jnp.int32)[None, :, None] == r[:, None, None])
-                & (jnp.arange(w, dtype=jnp.int32)[None, None, :] == c[:, None, None])
-                & take[:, None, None]
-            )
-            boardc = jnp.where(cell_mask, stm[:, None, None], boardc)
-            move_r = jnp.where(take, r, move_r)
-            move_c = jnp.where(take, c, move_c)
-            new_stm = jnp.where(
-                take, jnp.where(stm == CROSS, CIRCLE, CROSS).astype(jnp.int8), stm
-            )
-            # stop AFTER stepping when the chosen edge had no child yet
-            hit_unexpanded = take & (child == NULL)
-            now_done = stop_here | hit_unexpanded
-            new_cur = jnp.where(take & ~hit_unexpanded, child, cur)
-            new_steps = steps + take.astype(jnp.int32)
-            new_need = need_expand | hit_unexpanded
-            out = (new_cur, boardc, new_stm, new_steps, now_done, new_need, move_r, move_c)
-            path = (jnp.where(take, cur, NULL), jnp.where(take, slot, NULL))
-            return out, path
+            def body(carry):
+                (cur, boardc, stm, steps, done, need_expand, move_r, move_c,
+                 pn, ps, d) = carry
+                prior = jnp.where(
+                    (cur == 0)[:, None], state.noisy_prior,
+                    tree.edge_prior[b, cur].astype(jnp.float32),
+                )
+                if P:
+                    match = prev_nodes == cur[:, None]  # [B, P]
+                    vl = (
+                        (prev_slots[:, :, None] == k_iota[None, None, :])
+                        & match[:, :, None]
+                    ).sum(1)
+                else:
+                    vl = None
+                slot = select_edge(tree, cfg, cur, prior, vl)
+                action = tree.edge_action[b, cur, slot]
+                child = tree.edge_child[b, cur, slot]
+                no_edges = tree.edge_action[b, cur, 0] == NULL
+                proven = S.is_proven(tree.node_score[b, cur])
+                stop_here = done | no_edges | proven
 
-        init = (
-            jnp.zeros(bsz, jnp.int32),  # cur = root (node 0)
-            state.root_board,
-            state.root_stm,
-            jnp.zeros(bsz, jnp.int32),  # steps
-            jnp.zeros(bsz, bool),  # done
-            jnp.zeros(bsz, bool),  # need_expand
-            jnp.zeros(bsz, jnp.int32),
-            jnp.zeros(bsz, jnp.int32),
-        )
-        carry_out, path = jax.lax.scan(descend, init, None, length=D)
-        (leaf, sim_board, leaf_stm, steps, _, need_expand, last_r, last_c) = carry_out
-        path_nodes, path_slots = path  # [D, B] with NULL beyond the path
+                take = ~stop_here
+                act32 = jnp.where(take, action, 0).astype(jnp.int32)
+                r = jnp.clip(act32 // w, 0, h - 1)
+                c = jnp.clip(act32 % w, 0, w - 1)
+                cell_mask = (
+                    (jnp.arange(h, dtype=jnp.int32)[None, :, None] == r[:, None, None])
+                    & (jnp.arange(w, dtype=jnp.int32)[None, None, :] == c[:, None, None])
+                    & take[:, None, None]
+                )
+                boardc = jnp.where(cell_mask, stm[:, None, None], boardc)
+                move_r = jnp.where(take, r, move_r)
+                move_c = jnp.where(take, c, move_c)
+                new_stm = jnp.where(
+                    take, jnp.where(stm == CROSS, CIRCLE, CROSS).astype(jnp.int8), stm
+                )
+                hit_unexpanded = take & (child == NULL)
+                now_done = stop_here | hit_unexpanded
+                new_cur = jnp.where(
+                    take & ~hit_unexpanded, child.astype(jnp.int32), cur
+                )
+                new_steps = steps + take.astype(jnp.int32)
+                new_need = need_expand | hit_unexpanded
+                pn = pn.at[d].set(jnp.where(take, cur, NULL))
+                ps = ps.at[d].set(jnp.where(take, slot, NULL))
+                return (
+                    new_cur, boardc, new_stm, new_steps, now_done, new_need,
+                    move_r, move_c, pn, ps, d + 1,
+                )
 
-        # last taken path entry = the edge into the reached position
-        pn_t, ps_t = path_nodes.T, path_slots.T  # [B, D]
-        last_i = jnp.clip(steps - 1, 0, D - 1)
-        last_node = jnp.where(steps > 0, pn_t[b, last_i], NULL)
-        last_slot = jnp.where(steps > 0, ps_t[b, last_i], 0)
+            init = (
+                jnp.zeros(bsz, jnp.int32),
+                state.root_board,
+                state.root_stm,
+                jnp.zeros(bsz, jnp.int32),
+                jnp.zeros(bsz, bool),
+                jnp.zeros(bsz, bool),
+                jnp.zeros(bsz, jnp.int32),
+                jnp.zeros(bsz, jnp.int32),
+                jnp.full((D, bsz), NULL),
+                jnp.full((D, bsz), NULL),
+                jnp.zeros((), jnp.int32),
+            )
+            # early-exit: most descents are far shorter than max_depth, and
+            # each iteration is latency-bound gather work
+            out = jax.lax.while_loop(
+                lambda c: (c[-1] < D) & jnp.any(~c[4]), body, init
+            )
+            (leaf, sim_board, leaf_stm, steps, _, need_expand, last_r, last_c,
+             pn, ps, _) = out
+            pn_t, ps_t = pn.T, ps.T
+            last_i = jnp.clip(steps - 1, 0, D - 1)
+            last_node = jnp.where(steps > 0, pn_t[b, last_i], NULL)
+            last_slot = jnp.where(steps > 0, ps_t[b, last_i], 0)
+            return _Sub(
+                leaf, sim_board, leaf_stm, steps, need_expand, last_r, last_c,
+                pn_t, ps_t, last_node, last_slot,
+            )
+
+        subs: list = []
+        prev_nodes = jnp.full((bsz, 0), NULL)
+        prev_slots = jnp.full((bsz, 0), NULL)
+        for s in range(NSIM):
+            sub = one_descent(prev_nodes, prev_slots)
+            subs.append(sub)
+            if s + 1 < NSIM:
+                prev_nodes = jnp.concatenate([prev_nodes, sub.pn_t], 1)
+                prev_slots = jnp.concatenate([prev_slots, sub.ps_t], 1)
 
         if profile_cutoff == "select":
-            dep = steps + leaf + last_node + sim_board.sum((1, 2)).astype(jnp.int32)
-            return state._replace(sims_done=state.sims_done + 1 + dep * 0)
+            dep = sum(
+                s.steps + s.leaf + s.last_node + s.sim_board.sum((1, 2)).astype(jnp.int32)
+                for s in subs
+            )
+            return state._replace(sims_done=state.sims_done + NSIM + dep * 0)
 
         # ------------------------------------------------------------------
-        # TERMINAL CHECK of the newly reached position (only meaningful where
-        # we stepped onto an unexpanded edge)
+        # TERMINAL CHECK + EVALUATE: all S x B positions in one fused batch
         # ------------------------------------------------------------------
-        mover = jnp.where(leaf_stm == CROSS, CIRCLE, CROSS).astype(jnp.int8)
-        stones = (sim_board != V.NONE).sum((1, 2)).astype(jnp.int32)
-        outcome = V.outcome_after(
-            tables, sim_board, last_r, last_c, mover, stones, h * w
-        )
-        outcome = jnp.where(need_expand, outcome, jnp.int8(int(GameOutcome.UNKNOWN)))
-        terminal = outcome != jnp.int8(int(GameOutcome.UNKNOWN))
-        term_score = S.from_outcome(outcome, leaf_stm)  # leaf's own view
+        boards_f = jnp.concatenate([s.sim_board for s in subs], 0)  # [S*B,H,W]
+        stm_f = jnp.concatenate([s.leaf_stm for s in subs], 0)
+        lr_f = jnp.concatenate([s.last_r for s in subs], 0)
+        lc_f = jnp.concatenate([s.last_c for s in subs], 0)
+        need_f = jnp.concatenate([s.need_expand for s in subs], 0)
 
-        # ------------------------------------------------------------------
-        # EVALUATE all reached positions in one NN batch
-        # ------------------------------------------------------------------
-        policy, value, q_expect, moves_left, legal, packed = _evaluate(
-            net_apply, variables, tables, sim_board, leaf_stm, raw_input
-        )
-        value = jnp.where(terminal[:, None], S.convert_to_value(term_score), value)
+        mover = jnp.where(stm_f == CROSS, CIRCLE, CROSS).astype(jnp.int8)
+        stones = (boards_f != V.NONE).sum((1, 2)).astype(jnp.int32)
+        outcome = V.outcome_after(tables, boards_f, lr_f, lc_f, mover, stones, h * w)
+        outcome = jnp.where(need_f, outcome, jnp.int8(int(GameOutcome.UNKNOWN)))
+        terminal_f = outcome != jnp.int8(int(GameOutcome.UNKNOWN))
+        term_score_f = S.from_outcome(outcome, stm_f)  # leaf's own view
 
-        leaf_proven = S.is_proven(tree.node_score[b, leaf])
-        revisit_proven = (~need_expand) & leaf_proven
-        start_value = jnp.where(
-            revisit_proven[:, None],
-            S.convert_to_value(tree.node_score[b, leaf]),
-            value,
+        policy_f, value_f, q_expect_f, moves_left_f, legal_f, packed_f = _evaluate(
+            net_apply, variables, tables, boards_f, stm_f, raw_input
         )
-        start_score = jnp.where(
-            need_expand,
-            term_score,
-            jnp.where(revisit_proven, tree.node_score[b, leaf], S.zero()),
+        value_f = jnp.where(
+            terminal_f[:, None], S.convert_to_value(term_score_f), value_f
         )
-        start_ml = moves_left
+        analysis_f = static_solver.analyze(packed_f, legal_f)
+
+        def split(x):
+            return [x[i * bsz : (i + 1) * bsz] for i in range(NSIM)]
+
+        terminal_s = split(terminal_f)
+        term_score_s = split(term_score_f)
+        value_s = split(value_f)
+        policy_s = split(policy_f)
+        q_expect_s = split(q_expect_f)
+        moves_left_s = split(moves_left_f)
+        restrict_s = split(analysis_f.restrict)
+        ascore_s = split(analysis_f.action_scores)
+        nscore_s = split(analysis_f.node_score)
+
+        # per-sub-simulation backup seeds
+        start_value_s, start_score_s, start_ml_s = [], [], []
+        for s in range(NSIM):
+            sub = subs[s]
+            leaf_proven = S.is_proven(tree.node_score[b, sub.leaf])
+            revisit_proven = (~sub.need_expand) & leaf_proven
+            sv = jnp.where(
+                revisit_proven[:, None],
+                S.convert_to_value(tree.node_score[b, sub.leaf]),
+                value_s[s],
+            )
+            ss = jnp.where(
+                sub.need_expand,
+                term_score_s[s],
+                jnp.where(revisit_proven, tree.node_score[b, sub.leaf], S.zero()),
+            )
+            start_value_s.append(sv)
+            start_score_s.append(ss)
+            start_ml_s.append(moves_left_s[s])
 
         if profile_cutoff == "evaluate":
-            dep = (
-                start_value.sum(-1)
-                + policy.sum((1, 2))
-                + q_expect.sum((1, 2))
-                + start_score.astype(jnp.float32)
+            dep = sum(
+                sv.sum(-1) + ss.astype(jnp.float32) for sv, ss in zip(start_value_s, start_score_s)
+            ) + policy_f.sum() * 0
+            return state._replace(
+                sims_done=state.sims_done + NSIM + dep.astype(jnp.int32) * 0
             )
-            return state._replace(sims_done=state.sims_done + 1 + dep.astype(jnp.int32) * 0)
 
         # ------------------------------------------------------------------
-        # EXPAND (reference: Tree::expand, Tree.cpp:257-298)
+        # EXPAND: allocate up to S new nodes per tree, deduplicated on the
+        # target edge (reference: Tree::expand + duplicate-expansion
+        # handling, Tree.cpp:257-298)
         # ------------------------------------------------------------------
-        has_space = tree.node_count < tree.capacity
-        do_expand = need_expand & has_space
-        new_idx = jnp.where(do_expand, tree.node_count, 0)
+        actions_s, priors_s, q_init_s, escore0_s, nodescore_s = [], [], [], [], []
+        do_expand_s, new_idx_s = [], []
+        alloc = tree.node_count
+        for s in range(NSIM):
+            sub = subs[s]
+            actions, priors, complete = _topk_edges(
+                policy_s[s], restrict_s[s], K, cfg.policy_expansion_temperature
+            )
+            actions = jnp.where((~terminal_s[s])[:, None], actions, NULL)
+            qv = q_expect_s[s].reshape(bsz, h * w)
+            safe_act = jnp.clip(actions, 0, h * w - 1)
+            q_init = jnp.where(
+                actions != NULL, jnp.take_along_axis(qv, safe_act, -1), 0.0
+            )
+            flat_sc = ascore_s[s].reshape(bsz, h * w)
+            escore0 = jnp.take_along_axis(flat_sc, safe_act, -1)
+            last_cell = ((sub.sim_board == V.NONE).sum((1, 2)) <= 1)[:, None]
+            escore0 = jnp.where(
+                last_cell & ~S.is_proven(escore0), S.draw_in(1), escore0
+            )
+            escore0 = jnp.where(actions != NULL, escore0, S.zero()).astype(jnp.uint16)
+            best_edge = jnp.max(
+                jnp.where(actions != NULL, escore0, jnp.asarray(S.MINUS_INF)), -1
+            ).astype(jnp.uint16)
+            node_score_new = jnp.where(
+                terminal_s[s],
+                term_score_s[s],
+                jnp.where(S.is_win(best_edge), best_edge, nscore_s[s]),
+            ).astype(jnp.uint16)
 
-        # static solver restricts generated moves (must-defend) and scores
-        # tactical edges before the policy prior is consulted
-        analysis = static_solver.analyze(packed, legal)
-        actions, priors, complete = _topk_edges(
-            policy, analysis.restrict, K, cfg.policy_expansion_temperature
+            dup = jnp.zeros(bsz, bool)
+            for s2 in range(s):
+                dup = dup | (
+                    do_expand_s[s2]
+                    & (subs[s2].last_node == sub.last_node)
+                    & (subs[s2].last_slot == sub.last_slot)
+                )
+            do_exp = sub.need_expand & ~dup & (alloc < tree.capacity)
+            new_idx = jnp.where(do_exp, alloc, 0)
+            alloc = alloc + do_exp.astype(jnp.int32)
+
+            # refresh backup seeds with the statically proven node score
+            start_score_s[s] = jnp.where(
+                sub.need_expand, node_score_new, start_score_s[s]
+            )
+            start_value_s[s] = jnp.where(
+                (sub.need_expand & S.is_proven(node_score_new))[:, None],
+                S.convert_to_value(node_score_new),
+                start_value_s[s],
+            )
+
+            actions_s.append(actions)
+            priors_s.append(priors)
+            q_init_s.append(q_init)
+            escore0_s.append(escore0)
+            nodescore_s.append((node_score_new, complete))
+            do_expand_s.append(do_exp)
+            new_idx_s.append(new_idx)
+
+        onehot_sn = jnp.stack(
+            [
+                (n_iota == new_idx_s[s][:, None]) & do_expand_s[s][:, None]
+                for s in range(NSIM)
+            ],
+            1,
+        )  # [B, S, N] bool
+        row_any = onehot_sn.any(1)  # [B, N]
+        oh_f = onehot_sn.astype(jnp.float32)
+
+        def dense_u16(vals_u16_s: list) -> jax.Array:
+            """Exact one-hot placement of per-sub u16 rows [B, K] -> [B,N,K]
+            (hi/lo byte split keeps the matmul passes integer-exact)."""
+            vals = jnp.stack(vals_u16_s, 1).astype(jnp.int32)  # [B, S, K]
+            hi = (vals >> 8).astype(jnp.float32)
+            lo = (vals & 0xFF).astype(jnp.float32)
+            out = jnp.einsum("bsn,bsk->bnk", oh_f, hi) * 256.0 + jnp.einsum(
+                "bsn,bsk->bnk", oh_f, lo
+            )
+            return jnp.round(out).astype(jnp.uint16)
+
+        import jax.lax as lax
+
+        act_enc = dense_u16(
+            [(a.astype(jnp.int32) & 0xFFFF).astype(jnp.uint16) for a in actions_s]
         )
-        actions = jnp.where((~terminal)[:, None], actions, NULL)
-        qv = q_expect.reshape(bsz, h * w)
-        safe_act = jnp.clip(actions, 0, h * w - 1)
-        q_init = jnp.where(actions != NULL, jnp.take_along_axis(qv, safe_act, -1), 0.0)
+        prior_enc = dense_u16(
+            [
+                lax.bitcast_convert_type(p.astype(jnp.bfloat16), jnp.uint16)
+                for p in priors_s
+            ]
+        )
+        qinit_enc = dense_u16(
+            [
+                lax.bitcast_convert_type(q.astype(jnp.bfloat16), jnp.uint16)
+                for q in q_init_s
+            ]
+        )
+        score_enc = dense_u16(escore0_s)
 
-        edge_scores0 = _edge_scores_from_analysis(sim_board, analysis, actions)
-        best_edge = jnp.max(
-            jnp.where(actions != NULL, edge_scores0, jnp.asarray(S.MINUS_INF)), -1
-        ).astype(jnp.uint16)
-        new_node_score = jnp.where(
-            terminal,
-            term_score,
-            jnp.where(
-                S.is_win(best_edge),
-                best_edge,
-                analysis.node_score,
+        def sel_rows(arr, dense):
+            m = row_any.reshape(row_any.shape + (1,) * (arr.ndim - 2))
+            return jnp.where(m, dense, arr)
+
+        tree = tree._replace(
+            edge_action=sel_rows(
+                tree.edge_action, lax.bitcast_convert_type(act_enc, jnp.int16)
             ),
-        ).astype(jnp.uint16)
-        start_score = jnp.where(need_expand, new_node_score, start_score)
-        start_value = jnp.where(
-            (need_expand & S.is_proven(new_node_score))[:, None],
-            S.convert_to_value(new_node_score),
-            start_value,
+            edge_prior=sel_rows(
+                tree.edge_prior, lax.bitcast_convert_type(prior_enc, jnp.bfloat16)
+            ),
+            edge_q_init=sel_rows(
+                tree.edge_q_init, lax.bitcast_convert_type(qinit_enc, jnp.bfloat16)
+            ),
+            edge_score=sel_rows(tree.edge_score, score_enc),
+            edge_child=sel_rows(tree.edge_child, jnp.int16(-1)),
+            edge_visits=sel_rows(tree.edge_visits, jnp.int32(0)),
+            edge_value_sum=sel_rows(tree.edge_value_sum, jnp.float32(0.0)),
+            node_count=alloc,
         )
 
-        # writes are full-array one-hot selects: TPU scatters at per-batch
-        # row indices serialize over the batch, while a masked select is one
-        # streaming pass over a contiguous array
-        n_iota = jnp.arange(tree.capacity, dtype=jnp.int32)[None, :]  # [1, N]
-        row_mask = (n_iota == new_idx[:, None]) & do_expand[:, None]  # [B, N]
-
-        def upd(arr, value_new):
-            extra = arr.ndim - 2
-            m = row_mask.reshape(row_mask.shape + (1,) * extra)
-            v = jnp.asarray(value_new)
-            if v.ndim <= 1:
-                v = v.reshape((-1, 1) + (1,) * extra)
-            else:
-                v = v.reshape((bsz, 1) + v.shape[1:])
-            return jnp.where(m, v, arr)
-
-        tree = tree._replace(
-            node_visits=upd(tree.node_visits, jnp.ones(bsz, jnp.int32)),
-            node_value_sum=upd(tree.node_value_sum, start_value),
-            node_score=upd(tree.node_score, new_node_score),
-            node_moves_left_sum=upd(tree.node_moves_left_sum, moves_left),
-            node_complete=upd(tree.node_complete, complete & ~terminal),
-            edge_action=upd(tree.edge_action, actions),
-            edge_child=upd(tree.edge_child, jnp.full((bsz, K), NULL)),
-            edge_prior=upd(tree.edge_prior, priors),
-            edge_visits=upd(tree.edge_visits, jnp.zeros((bsz, K), jnp.int32)),
-            edge_value_sum=upd(tree.edge_value_sum, jnp.zeros((bsz, K, 2), jnp.float32)),
-            edge_score=upd(tree.edge_score, edge_scores0),
-            edge_q_init=upd(tree.edge_q_init, q_init),
-            node_count=tree.node_count + do_expand.astype(jnp.int32),
-        )
-        # link the parent edge to the new node (one-hot select)
-        link_node = jnp.where(do_expand, last_node, NULL)
-        link_slot = jnp.where(do_expand, last_slot, 0)
-        k_iota_b = jnp.arange(K, dtype=jnp.int32)[None, :]
-        link_mask = (n_iota == link_node[:, None])[:, :, None] & (
-            k_iota_b == link_slot[:, None]
-        )[:, None, :]
-        tree = tree._replace(
-            edge_child=jnp.where(link_mask, new_idx[:, None, None], tree.edge_child)
-        )
+        # node rows + parent links, one small pass per sub-simulation
+        for s in range(NSIM):
+            rm = (n_iota == new_idx_s[s][:, None]) & do_expand_s[s][:, None]
+            node_score_new, complete = nodescore_s[s]
+            tree = tree._replace(
+                node_visits=jnp.where(rm, 1, tree.node_visits),
+                node_value_sum=jnp.where(
+                    rm[..., None], start_value_s[s][:, None, :], tree.node_value_sum
+                ),
+                node_score=jnp.where(rm, node_score_new[:, None], tree.node_score),
+                node_moves_left_sum=jnp.where(
+                    rm, moves_left_s[s][:, None], tree.node_moves_left_sum
+                ),
+                node_complete=jnp.where(
+                    rm, (complete & ~terminal_s[s])[:, None], tree.node_complete
+                ),
+            )
+            link_node = jnp.where(do_expand_s[s], subs[s].last_node, NULL)
+            link_slot = jnp.where(do_expand_s[s], subs[s].last_slot, 0)
+            link_mask = (n_iota == link_node[:, None])[:, :, None] & (
+                k_iota[None, None, :] == link_slot[:, None, None]
+            )
+            tree = tree._replace(
+                edge_child=jnp.where(
+                    link_mask,
+                    new_idx_s[s].astype(jnp.int16)[:, None, None],
+                    tree.edge_child,
+                )
+            )
 
         if profile_cutoff == "expand":
             dep = tree.node_count + tree.edge_child[:, 0, 0]
-            return state._replace(
-                tree=tree, sims_done=state.sims_done + 1 + dep * 0
-            )
+            return state._replace(tree=tree, sims_done=state.sims_done + NSIM + dep * 0)
 
-        # leaf-node stat update for non-expanding visits (revisits of proven
-        # nodes / depth cutoffs); reference backup touches every traced node
-        leaf_touch = (~need_expand) & (steps > 0)
-        leaf_mask = (n_iota == leaf[:, None]) & leaf_touch[:, None]  # [B, N]
-        tree = tree._replace(
-            node_visits=tree.node_visits + leaf_mask.astype(jnp.int32),
-            node_value_sum=tree.node_value_sum
-            + jnp.where(leaf_mask[..., None], start_value[:, None, :], 0.0),
-            node_moves_left_sum=tree.node_moves_left_sum
-            + jnp.where(leaf_mask, start_ml[:, None], 0.0),
-        )
+        # leaf-node stat update for non-expanding visits (proven revisits /
+        # depth cutoffs / duplicate expansions)
+        for s in range(NSIM):
+            sub = subs[s]
+            leaf_touch = ((~sub.need_expand) & (sub.steps > 0)) | (
+                sub.need_expand & ~do_expand_s[s]
+            )
+            lm = (n_iota == sub.leaf[:, None]) & leaf_touch[:, None]
+            tree = tree._replace(
+                node_visits=tree.node_visits + lm.astype(jnp.int32),
+                node_value_sum=tree.node_value_sum
+                + jnp.where(lm[..., None], start_value_s[s][:, None, :], 0.0),
+                node_moves_left_sum=tree.node_moves_left_sum
+                + jnp.where(lm, start_ml_s[s][:, None], 0.0),
+            )
 
         # ------------------------------------------------------------------
         # BACKUP (reference: Tree::backup, Tree.cpp:299-351)
         #
-        # Two phases to keep HBM traffic flat in batch size: visit/value
-        # statistics go in via ONE batched scatter-add per array (the value
-        # seen at path depth d is a closed form of the leaf value — it flips
-        # perspective (steps-d) times), and only the proven-score minimax —
-        # inherently sequential — runs as a scan, over small gathered path
-        # rows, with two final scatters.  A naive per-ply scatter scan makes
-        # XLA copy the multi-hundred-MB edge arrays every ply.
+        # Phase A: visit/value statistics of ALL paths in one one-hot einsum
+        # (closed-form perspective flips; duplicates across sub-simulations
+        # sum correctly).  Phase B: the proven-score minimax is sequential,
+        # one small pass per sub-simulation so later proofs observe earlier
+        # ones.
         # ------------------------------------------------------------------
         minus_inf = jnp.asarray(S.MINUS_INF)
-        valid_bd = pn_t != NULL  # [B, D]
-        nd_bd = jnp.where(valid_bd, pn_t, 0)
-        sl_bd = jnp.where(valid_bd, ps_t, 0)
-        bb = b[:, None]
+        P = NSIM * D
+        nd_all = jnp.concatenate([s.pn_t for s in subs], 1)  # [B, P]
+        sl_all = jnp.concatenate([s.ps_t for s in subs], 1)
+        valid_all = nd_all != NULL
+        nd_safe = jnp.where(valid_all, nd_all, 0)
 
-        # phase A: closed-form values along the path
-        d_idx = jnp.arange(D, dtype=jnp.int32)[None, :]  # [1, D]
-        flips = steps[:, None] - d_idx  # [B, D]
-        odd = (flips & 1) == 1
-        inv_value = S.value_invert(start_value)
-        val_bd = jnp.where(odd[..., None], inv_value[:, None, :], start_value[:, None, :])
-        ml_bd = start_ml[:, None] + flips.astype(jnp.float32)
-        vsel = jnp.where(valid_bd[..., None], val_bd, 0.0)
+        d_idx = jnp.arange(D, dtype=jnp.int32)[None, :]
+        val_parts, ml_parts = [], []
+        for s in range(NSIM):
+            flips = subs[s].steps[:, None] - d_idx  # [B, D]
+            odd = (flips & 1) == 1
+            inv_value = S.value_invert(start_value_s[s])
+            vp = jnp.where(
+                odd[..., None], inv_value[:, None, :], start_value_s[s][:, None, :]
+            )
+            val_parts.append(vp)
+            ml_parts.append(start_ml_s[s][:, None] + flips.astype(jnp.float32))
+        val_all = jnp.concatenate(val_parts, 1)  # [B, P, 2]
+        ml_all = jnp.concatenate(ml_parts, 1)  # [B, P]
+        vsel_all = jnp.where(valid_all[..., None], val_all, 0.0)
 
-        # updates become dense deltas via one-hot einsum on the MXU, then one
-        # streaming add per array (scatters at per-batch indices serialize on
-        # TPU).  Path nodes are distinct within a path, so every (node, slot)
-        # receives at most one contribution and integer sums stay exact.
-        k_iota_row = jnp.arange(K, dtype=jnp.int32)[None, None, :]  # [1,1,K]
-        slot_hit = (k_iota_row == sl_bd[..., None]) & valid_bd[..., None]  # [B,D,K]
-        ev_rows_add = jnp.where(slot_hit[..., None], val_bd[:, :, None, :], 0.0)
+        k_iota_row = k_iota[None, None, :]
+        slot_hit = (k_iota_row == sl_all[..., None]) & valid_all[..., None]  # [B,P,K]
+        ev_rows_add = jnp.where(slot_hit[..., None], val_all[:, :, None, :], 0.0)
         onehot_nd = (
-            (n_iota[:, None, :] == nd_bd[:, :, None]) & valid_bd[..., None]
-        ).astype(jnp.float32)  # [B, D, N]
+            (n_iota[:, None, :] == nd_safe[:, :, None]) & valid_all[..., None]
+        ).astype(jnp.float32)  # [B, P, N]
 
-        delta_ev = jnp.einsum("bdn,bdkc->bnkc", onehot_nd, ev_rows_add)
-        delta_evis = jnp.einsum(
-            "bdn,bdk->bnk", onehot_nd, slot_hit.astype(jnp.float32)
-        )
-        delta_nvis = jnp.einsum(
-            "bdn,bd->bn", onehot_nd, valid_bd.astype(jnp.float32)
-        )
-        delta_nval = jnp.einsum("bdn,bdc->bnc", onehot_nd, vsel)
+        delta_ev = jnp.einsum("bpn,bpkc->bnkc", onehot_nd, ev_rows_add)
+        delta_evis = jnp.einsum("bpn,bpk->bnk", onehot_nd, slot_hit.astype(jnp.float32))
+        delta_nvis = jnp.einsum("bpn,bp->bn", onehot_nd, valid_all.astype(jnp.float32))
+        delta_nval = jnp.einsum("bpn,bpc->bnc", onehot_nd, vsel_all)
         delta_nml = jnp.einsum(
-            "bdn,bd->bn", onehot_nd, jnp.where(valid_bd, ml_bd, 0.0)
+            "bpn,bp->bn", onehot_nd, jnp.where(valid_all, ml_all, 0.0)
         )
         tree = tree._replace(
             edge_value_sum=tree.edge_value_sum + delta_ev,
@@ -544,81 +723,88 @@ def make_simulate_fn(
             node_moves_left_sum=tree.node_moves_left_sum + delta_nml,
         )
 
-        # phase B: proven-score minimax over the gathered path rows
-        es_rows = tree.edge_score[bb, nd_bd]  # [B, D, K] uint16
-        ea_rows = tree.edge_action[bb, nd_bd] != NULL  # [B, D, K]
-        comp_rows = tree.node_complete[bb, nd_bd]  # [B, D]
-        ns_rows = tree.node_score[bb, nd_bd]  # [B, D]
-        k_iota = jnp.arange(K, dtype=jnp.int32)[None, :]
+        # Phase B per sub-simulation
+        for s in range(NSIM):
+            sub = subs[s]
+            valid_bd = sub.pn_t != NULL  # [B, D]
+            nd_bd = jnp.where(valid_bd, sub.pn_t, 0)
+            sl_bd = jnp.where(valid_bd, sub.ps_t, 0)
+            bb = b[:, None]
+            es_rows = tree.edge_score[bb, nd_bd]  # [B, D, K]
+            ea_rows = tree.edge_action[bb, nd_bd] != NULL
+            comp_rows = tree.node_complete[bb, nd_bd]
+            ns_rows = tree.node_score[bb, nd_bd]
 
-        def score_step(child_score, d):
-            vd = valid_bd[:, d]
-            pscore = S.invert_up(child_score)
-            old_e = es_rows[:, d, :]
-            sl = sl_bd[:, d]
-            e_at_slot = jnp.take_along_axis(old_e, sl[:, None], -1)[:, 0]
-            e_new = jnp.where(vd & S.is_proven(pscore), pscore, e_at_slot).astype(
-                jnp.uint16
-            )
-            row = jnp.where(k_iota == sl[:, None], e_new[:, None], old_e)
-            ea = ea_rows[:, d, :]
-            best = jnp.max(jnp.where(ea, row, minus_inf), -1).astype(jnp.uint16)
-            all_proven = jnp.all(S.is_proven(row) | ~ea, -1)
-            provable = S.is_win(best) | (
-                all_proven & comp_rows[:, d] & S.is_proven(best)
-            )
-            ns_new = jnp.where(vd & provable, best, ns_rows[:, d]).astype(jnp.uint16)
-            nxt = jnp.where(vd, ns_new, child_score)
-            return nxt, (e_new, ns_new)
-
-        _, (e_new_all, ns_new_all) = jax.lax.scan(
-            score_step, start_score, jnp.arange(D - 1, -1, -1)
-        )
-        # outputs are ordered leaf->root; map back to path order
-        e_new_bd = e_new_all[::-1].T  # [B, D]
-        ns_new_bd = ns_new_all[::-1].T
-        # score writes as dense mod-2^16 DELTA adds via the same one-hot
-        # einsum; deltas split into exact hi/lo bytes so the matmul passes
-        # stay integer-exact regardless of matmul precision
-        e_old_bd = jnp.take_along_axis(
-            es_rows, sl_bd[..., None], -1
-        )[..., 0]  # [B, D] pre-update values at the path slots
-        e_delta = (
-            e_new_bd.astype(jnp.int32) - e_old_bd.astype(jnp.int32)
-        ) & 0xFFFF
-        e_delta = jnp.where(valid_bd, e_delta, 0)
-        ns_delta = (
-            ns_new_bd.astype(jnp.int32) - ns_rows.astype(jnp.int32)
-        ) & 0xFFFF
-        ns_delta = jnp.where(valid_bd, ns_delta, 0)
-
-        def byte_einsum(delta_bd, rows: bool):
-            """Exact [B, N(, K)] uint16 delta from per-path deltas [B, D]."""
-            hi = (delta_bd >> 8).astype(jnp.float32)
-            lo = (delta_bd & 0xFF).astype(jnp.float32)
-            if rows:
-                hi = jnp.where(k_iota_row == sl_bd[..., None], hi[..., None], 0.0)
-                lo = jnp.where(k_iota_row == sl_bd[..., None], lo[..., None], 0.0)
-                out = jnp.einsum("bdn,bdk->bnk", onehot_nd, hi) * 256.0 + jnp.einsum(
-                    "bdn,bdk->bnk", onehot_nd, lo
+            def score_step(child_score, d, es_rows=es_rows, ea_rows=ea_rows,
+                           comp_rows=comp_rows, ns_rows=ns_rows,
+                           valid_bd=valid_bd, sl_bd=sl_bd):
+                vd = valid_bd[:, d]
+                pscore = S.invert_up(child_score)
+                old_e = es_rows[:, d, :]
+                sl = sl_bd[:, d]
+                e_at_slot = jnp.take_along_axis(old_e, sl[:, None], -1)[:, 0]
+                e_new = jnp.where(
+                    vd & S.is_proven(pscore), pscore, e_at_slot
+                ).astype(jnp.uint16)
+                row = jnp.where(k_iota[None, :] == sl[:, None], e_new[:, None], old_e)
+                ea = ea_rows[:, d, :]
+                best = jnp.max(jnp.where(ea, row, minus_inf), -1).astype(jnp.uint16)
+                all_proven = jnp.all(S.is_proven(row) | ~ea, -1)
+                provable = S.is_win(best) | (
+                    all_proven & comp_rows[:, d] & S.is_proven(best)
                 )
-            else:
-                out = jnp.einsum("bdn,bd->bn", onehot_nd, hi) * 256.0 + jnp.einsum(
-                    "bdn,bd->bn", onehot_nd, lo
+                ns_new = jnp.where(vd & provable, best, ns_rows[:, d]).astype(
+                    jnp.uint16
                 )
-            return jnp.round(out).astype(jnp.uint16)
+                nxt = jnp.where(vd, ns_new, child_score)
+                return nxt, (e_new, ns_new)
 
-        tree = tree._replace(
-            edge_score=tree.edge_score + byte_einsum(e_delta, rows=True),
-            node_score=tree.node_score + byte_einsum(ns_delta, rows=False),
-        )
+            _, (e_new_all, ns_new_all) = jax.lax.scan(
+                score_step, start_score_s[s], jnp.arange(D - 1, -1, -1)
+            )
+            e_new_bd = e_new_all[::-1].T  # [B, D]
+            ns_new_bd = ns_new_all[::-1].T
+
+            e_old_bd = jnp.take_along_axis(es_rows, sl_bd[..., None], -1)[..., 0]
+            e_delta = (
+                e_new_bd.astype(jnp.int32) - e_old_bd.astype(jnp.int32)
+            ) & 0xFFFF
+            e_delta = jnp.where(valid_bd, e_delta, 0)
+            ns_delta = (
+                ns_new_bd.astype(jnp.int32) - ns_rows.astype(jnp.int32)
+            ) & 0xFFFF
+            ns_delta = jnp.where(valid_bd, ns_delta, 0)
+
+            oh_bd = (
+                (n_iota[:, None, :] == nd_bd[:, :, None]) & valid_bd[..., None]
+            ).astype(jnp.float32)  # [B, D, N]
+
+            def byte_einsum(delta_bd, per_slot: bool):
+                hi = (delta_bd >> 8).astype(jnp.float32)
+                lo = (delta_bd & 0xFF).astype(jnp.float32)
+                if per_slot:
+                    hi = jnp.where(k_iota_row == sl_bd[..., None], hi[..., None], 0.0)
+                    lo = jnp.where(k_iota_row == sl_bd[..., None], lo[..., None], 0.0)
+                    out = jnp.einsum("bdn,bdk->bnk", oh_bd, hi) * 256.0 + jnp.einsum(
+                        "bdn,bdk->bnk", oh_bd, lo
+                    )
+                else:
+                    out = jnp.einsum("bdn,bd->bn", oh_bd, hi) * 256.0 + jnp.einsum(
+                        "bdn,bd->bn", oh_bd, lo
+                    )
+                return jnp.round(out).astype(jnp.uint16)
+
+            tree = tree._replace(
+                edge_score=tree.edge_score + byte_einsum(e_delta, per_slot=True),
+                node_score=tree.node_score + byte_einsum(ns_delta, per_slot=False),
+            )
 
         return SearchState(
             tree=tree,
             root_board=state.root_board,
             root_stm=state.root_stm,
             noisy_prior=state.noisy_prior,
-            sims_done=state.sims_done + 1,
+            sims_done=state.sims_done + NSIM,
         )
 
     return simulate
@@ -667,10 +853,10 @@ def init_root(
         node_score=tree.node_score.at[:, 0].set(root_score),
         node_moves_left_sum=tree.node_moves_left_sum.at[:, 0].set(moves_left),
         node_complete=tree.node_complete.at[:, 0].set(complete),
-        edge_action=tree.edge_action.at[:, 0].set(actions),
-        edge_prior=tree.edge_prior.at[:, 0].set(priors),
+        edge_action=tree.edge_action.at[:, 0].set(actions.astype(jnp.int16)),
+        edge_prior=tree.edge_prior.at[:, 0].set(priors.astype(jnp.bfloat16)),
         edge_score=tree.edge_score.at[:, 0].set(edge_scores0),
-        edge_q_init=tree.edge_q_init.at[:, 0].set(q_init),
+        edge_q_init=tree.edge_q_init.at[:, 0].set(q_init.astype(jnp.bfloat16)),
         node_count=jnp.ones(bsz, jnp.int32),
     )
     noisy = priors
@@ -714,7 +900,8 @@ def run_search(
     def step(s, _):
         return simulate(variables, s), None
 
-    state, _ = jax.lax.scan(step, state, None, length=num_simulations)
+    steps = -(-num_simulations // max(1, cfg.leaf_batch))
+    state, _ = jax.lax.scan(step, state, None, length=steps)
     return state
 
 

@@ -76,7 +76,7 @@ def _five_completions(tables, board, rows, cols, sign):
     rr = jnp.clip(rr, 0, h - 1)
     cc = jnp.clip(cc, 0, w - 1)
     empty = board[jnp.arange(bsz)[:, None], rr, cc] == V.NONE
-    wins = V.windows_at(board, rr, cc)  # [B, 32, 4]
+    wins = V.windows_at_many(board, rr, cc)  # [B, 32, 4]
     pts = V.pattern_types(tables, wins, (sign == CIRCLE)[:, None])
     five = jnp.any(pts == V.T.PT_FIVE, -1) & inb & empty  # [B, 32]
     flat = jnp.zeros((bsz, h * w), bool)

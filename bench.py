@@ -23,10 +23,10 @@ def main() -> None:
     from alphagomoku_tpu.models import create_network
     from alphagomoku_tpu.search import mcts
 
-    BATCH = 256
+    BATCH = 1024
     H = W = 15
-    SIMS_PER_CALL = 64
-    CALLS = 4
+    SIMS_PER_CALL = 400  # one full search at the 800-sims/move regime
+    CALLS = 2
 
     tables = V.device_tables(GameRules.FREESTYLE)
     net = create_network("ConvNextPVQMraw", blocks=6, filters=64)
@@ -36,7 +36,7 @@ def main() -> None:
     def apply(v, planes):
         return net.apply(v, planes, train=False)
 
-    cfg = mcts.MCTSConfig(max_nodes=896, max_edges=32, max_depth=32)
+    cfg = mcts.MCTSConfig(max_nodes=SIMS_PER_CALL + 8, max_edges=32, max_depth=32)
 
     rng = np.random.default_rng(0)
     boards = np.zeros((BATCH, H, W), np.int8)
