@@ -121,7 +121,9 @@ class Engine:
 
     # -- search ------------------------------------------------------------
 
-    def search(self, time_budget: float | None = None) -> SearchSummary:
+    def search(
+        self, time_budget: float | None = None, selector: str = "best"
+    ) -> SearchSummary:
         """Run the search on the current position.
 
         Chunks of `sim_chunk` simulations run until the simulation target,
@@ -164,12 +166,19 @@ class Engine:
                 break
             if self._stop_requested:
                 break
-        return self._summarize(state, stm_val, sims, time.monotonic() - t0)
+        return self._summarize(state, stm_val, sims, time.monotonic() - t0, selector)
 
     def _summarize(
-        self, state: mcts.SearchState, stm: int, sims: int, dt: float
+        self,
+        state: mcts.SearchState,
+        stm: int,
+        sims: int,
+        dt: float,
+        selector: str = "best",
     ) -> SearchSummary:
-        move_flat = int(np.asarray(mcts.select_move(state))[0])
+        from ..search import selectors
+
+        move_flat = int(np.asarray(selectors.select(state, selector))[0])
         r, c = move_flat // self.cols, move_flat % self.cols
         val = np.asarray(mcts.root_value(state))[0]
         nodes = int(np.asarray(state.tree.node_count)[0])

@@ -39,9 +39,14 @@ class ProgramManager:
     ):
         self.input_queue = MessageQueue()
         self.output_queue = MessageQueue()
-        proto_cls = (
-            ExtendedGomocupProtocol if protocol == "extended" else GomocupProtocol
-        )
+        if protocol == "yixin":
+            from .yixin import YixinBoardProtocol
+
+            proto_cls = YixinBoardProtocol
+        elif protocol == "extended":
+            proto_cls = ExtendedGomocupProtocol
+        else:
+            proto_cls = GomocupProtocol
         self.protocol = proto_cls(self.input_queue, self.output_queue)
         # instream=None -> no reader thread; lines arrive via push_line
         # (test mode); the launcher passes sys.stdin explicitly
@@ -141,8 +146,10 @@ class ProgramManager:
         elif mode == "ponder":
             pass  # pondering is a no-op without a persistent background search
         elif mode.startswith("swap2") or mode.startswith("balance"):
-            # v1: swap decision by evaluation sign — play a move when ahead
-            summary = engine.search(self._time_budget_s())
+            # balancing searches pick the closest-to-draw move
+            # (reference: Swap2Controller + BalancedSelector,
+            # src/player/controllers/Swap2Controller.cpp:22-156)
+            summary = engine.search(self._time_budget_s(), selector="balanced")
             if mode.startswith("swap2") and len(engine.moves) == 3:
                 if summary.expectation < 0.5:
                     self.output_queue.push(Message(MessageType.PLAIN_STRING, "SWAP"))
@@ -186,13 +193,37 @@ def main(argv: list[str] | None = None) -> None:
     import argparse
 
     p = argparse.ArgumentParser(description="AlphaGomoku TPU engine")
-    p.add_argument("--protocol", default="extended", choices=["gomocup", "extended"])
+    p.add_argument(
+        "--protocol", default="extended", choices=["gomocup", "extended", "yixin"]
+    )
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--arch", default="ConvNextPVQMraw")
     p.add_argument("--blocks", type=int, default=6)
     p.add_argument("--filters", type=int, default=64)
     p.add_argument("--simulations", type=int, default=400)
+    p.add_argument(
+        "--selfcheck",
+        action="store_true",
+        help="run environment self-verification and exit "
+        "(reference: ProgramManager --selfcheck)",
+    )
+    p.add_argument("--benchmark", action="store_true", help="run the NN benchmark")
+    p.add_argument("--configure", action="store_true", help="write config.json")
     args = p.parse_args(argv)
+    if args.selfcheck:
+        from ..utils.selfcheck import run_selfcheck
+
+        raise SystemExit(0 if run_selfcheck() else 1)
+    if args.benchmark or args.configure:
+        from .benchmark import main as bench_main
+
+        flags = []
+        if args.benchmark:
+            flags.append("--benchmark")
+        if args.configure:
+            flags.append("--configure")
+        bench_main(flags + ["--arch", args.arch, "--blocks", str(args.blocks), "--filters", str(args.filters)])
+        return
     ProgramManager(
         protocol=args.protocol,
         architecture=args.arch,

@@ -1,3 +1,3 @@
-from . import mcts, score
+from . import mcts, score, selectors, static_solver, vcf, zobrist
 
-__all__ = ["mcts", "score"]
+__all__ = ["mcts", "score", "selectors", "static_solver", "vcf", "zobrist"]

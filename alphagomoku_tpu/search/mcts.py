@@ -706,7 +706,7 @@ def make_simulate_fn(
         ev_rows_add = jnp.where(slot_hit[..., None], val_all[:, :, None, :], 0.0)
         onehot_nd = (
             (n_iota[:, None, :] == nd_safe[:, :, None]) & valid_all[..., None]
-        ).astype(jnp.float32)  # [B, P, N]
+        ).astype(jnp.bfloat16)  # [B, P, N]; 0/1 exact in bf16, halves traffic
 
         delta_ev = jnp.einsum("bpn,bpkc->bnkc", onehot_nd, ev_rows_add)
         delta_evis = jnp.einsum("bpn,bpk->bnk", onehot_nd, slot_hit.astype(jnp.float32))
@@ -777,7 +777,7 @@ def make_simulate_fn(
 
             oh_bd = (
                 (n_iota[:, None, :] == nd_bd[:, :, None]) & valid_bd[..., None]
-            ).astype(jnp.float32)  # [B, D, N]
+            ).astype(jnp.bfloat16)  # [B, D, N]; 0/1 exact in bf16
 
             def byte_einsum(delta_bd, per_slot: bool):
                 hi = (delta_bd >> 8).astype(jnp.float32)

@@ -269,15 +269,74 @@ class TrainingManager:
         self.save_checkpoint(iteration)
         return mean
 
+    def gating(self, iteration: int) -> dict:
+        """Play last-vs-best and promote on winrate > 0.5
+        (reference: TrainingManager::gating, TrainingManager.cpp:310-356)."""
+        from ..eval.match import play_match, random_openings
+
+        best = self.metadata["best_checkpoint"]
+        if best < 0 or best == iteration:
+            self.metadata["best_checkpoint"] = iteration
+            self._save_metadata()
+            return {"promoted": True, "score": 1.0, "elo": 0.0}
+        template = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+        }
+        with open(self.checkpoint_path(best), "rb") as fh:
+            best_vars = serialization.from_bytes(template, fh.read())
+        last_vars = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+        }
+        cfg = self.cfg
+        openings = random_openings(
+            self.rng, cfg.gating_games // 2, cfg.rows, cfg.cols
+        )
+        result = play_match(
+            self._net_apply,
+            last_vars,
+            self._net_apply,
+            best_vars,
+            self.tables,
+            mcts.MCTSConfig(max_nodes=cfg.num_simulations + 8, max_edges=32, max_depth=32),
+            cfg.num_simulations,
+            openings,
+            raw_input_a=self.net.cfg.raw_input,
+            raw_input_b=self.net.cfg.raw_input,
+        )
+        promoted = result.score_a > 0.5
+        if promoted:
+            self.metadata["best_checkpoint"] = iteration
+            self._save_metadata()
+        with open(os.path.join(cfg.working_dir, "gating.txt"), "a") as fh:
+            fh.write(
+                json.dumps(
+                    {
+                        "iteration": iteration,
+                        "vs_best": best,
+                        "score": result.score_a,
+                        "elo": result.elo_a,
+                        "pentanomial": result.pentanomial.tolist(),
+                        "promoted": bool(promoted),
+                    }
+                )
+                + "\n"
+            )
+        return {"promoted": bool(promoted), "score": result.score_a, "elo": result.elo_a}
+
     def run_iteration_rl(self, iteration: int) -> dict:
-        """generateGames -> train (reference: runIterationRL,
-        TrainingManager.cpp:84-94)."""
+        """generateGames -> train -> optional gating
+        (reference: runIterationRL + runIterationSL,
+        TrainingManager.cpp:84-137)."""
         sig = _SigintFlag()
         try:
             samples = self.generate_games(iteration)
             if sig.hit:
                 return {"stopped": True, "samples": samples}
             metrics = self.train_iteration(iteration)
+            if self.cfg.use_gating and not sig.hit:
+                metrics.update(self.gating(iteration))
             return {"samples": samples, **metrics}
         finally:
             sig.restore()

@@ -177,6 +177,104 @@ def make_train_step(
     return train_step
 
 
+def make_eval_step(net: AGNetwork, tables: V.RuleTables, cfg: TrainConfig):
+    """Validation pass: losses + top-k policy accuracy, no gradients
+    (reference: SupervisedLearning validation + accuracy history,
+    SupervisedLearning.cpp:231-304)."""
+    raw = net.cfg.raw_input
+
+    def eval_step(state: TrainState, batch: dict):
+        board = batch["board"]
+        packed = F.encode(tables, board, batch["stm"])
+        planes = F.unpack_raw_planes(packed) if raw else F.unpack_planes(packed)
+        legal = ((packed & 1) == 1) & ~(((packed >> 6) & 1) == 1)
+        out = net.apply(
+            {"params": state.params, "batch_stats": state.batch_stats},
+            planes,
+            train=False,
+        )
+        _, parts = _losses(out, batch, cfg, legal)
+
+        bsz = board.shape[0]
+        hw = out.policy_logits.shape[1] * out.policy_logits.shape[2]
+        plog = jnp.where(legal, out.policy_logits, -1e9).reshape(bsz, hw)
+        target_best = jnp.argmax(batch["policy"].reshape(bsz, hw), -1)
+        valid = batch["valid"].astype(jnp.float32)
+        denom = jnp.maximum(valid.sum(), 1.0)
+        for k in (1, 3, 5):
+            _, topk = jax.lax.top_k(plog, k)
+            hit = jnp.any(topk == target_best[:, None], -1).astype(jnp.float32)
+            parts[f"top{k}_accuracy"] = (hit * valid).sum() / denom
+        return parts
+
+    return eval_step
+
+
+def make_distill_step(
+    student: AGNetwork,
+    teacher: AGNetwork,
+    tx: optax.GradientTransformation,
+    tables: V.RuleTables,
+    cfg: TrainConfig,
+):
+    """Teacher -> student distillation step: the student is trained toward
+    the teacher's output distributions on the sampled positions
+    (reference: SupervisedLearning distillation variant,
+    SupervisedLearning.cpp:155-230)."""
+    raw_s = student.cfg.raw_input
+    raw_t = teacher.cfg.raw_input
+
+    def distill_step(
+        state: TrainState, teacher_variables: Any, batch: dict, key: jax.Array
+    ):
+        board = batch["board"]
+        bsz, h, w = board.shape
+        packed = F.encode(tables, board, batch["stm"])
+        if cfg.augment_symmetries:
+            modes = jax.random.randint(key, (bsz,), 0, 8 if h == w else 4)
+            packed = F.augment_features_batch(packed, modes)
+        planes_s = F.unpack_raw_planes(packed) if raw_s else F.unpack_planes(packed)
+        planes_t = F.unpack_raw_planes(packed) if raw_t else F.unpack_planes(packed)
+        legal = ((packed & 1) == 1) & ~(((packed >> 6) & 1) == 1)
+
+        t_out = teacher.apply(teacher_variables, planes_t, train=False)
+        neg = jnp.float32(-1e9)
+        t_policy = jax.nn.softmax(
+            jnp.where(legal, t_out.policy_logits, neg).reshape(bsz, -1), -1
+        )
+        t_value = jax.nn.softmax(t_out.value_logits, -1)
+
+        def loss_fn(params):
+            out, mutated = student.apply(
+                {"params": params, "batch_stats": state.batch_stats},
+                planes_s,
+                train=True,
+                mutable=["batch_stats"],
+            )
+            s_logp = jax.nn.log_softmax(
+                jnp.where(legal, out.policy_logits, neg).reshape(bsz, -1), -1
+            )
+            policy_loss = -(t_policy * s_logp).sum(-1).mean()
+            v_logp = jax.nn.log_softmax(out.value_logits, -1)
+            value_loss = -(t_value * v_logp).sum(-1).mean()
+            total = policy_loss + value_loss
+            if out.q_logits is not None and t_out.q_logits is not None:
+                t_q = jax.nn.softmax(t_out.q_logits, -1)
+                q_logp = jax.nn.log_softmax(out.q_logits, -1)
+                total = total + cfg.q_weight * (-(t_q * q_logp).sum(-1).mean())
+            parts = {"policy": policy_loss, "value": value_loss, "total": total}
+            return total, (parts, mutated["batch_stats"])
+
+        (loss, (parts, new_bs)), grads = jax.value_and_grad(loss_fn, has_aux=True)(
+            state.params
+        )
+        updates, new_opt = tx.update(grads, state.opt_state, state.params)
+        new_params = optax.apply_updates(state.params, updates)
+        return TrainState(new_params, new_bs, new_opt, state.step + 1), parts
+
+    return distill_step
+
+
 # ---------------------------------------------------------------------------
 # Parameter schedules (reference: utils/Parameter.hpp epoch-keyed values with
 # none/linear/cosine interpolation)
