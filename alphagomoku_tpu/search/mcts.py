@@ -24,10 +24,12 @@ EdgeGenerator}.cpp).  Mapping:
   edge score = invert_up(child score); a node is WIN if any edge is WIN,
   LOSS/DRAW only when every edge of a complete node is proven.
 
-The transposition-table tree (NodeCache) is deliberately NOT replicated:
-each move gets a fresh tree (subtree value reuse happens through the replay
-of root statistics).  See SURVEY.md section 2.3 TPU mapping for the
-strength-parity caveat and the planned hash-probe variant.
+- Transpositions (reference: the NodeCache hash-table tree,
+  NodeCache.hpp:51-120) are handled by an on-device hash probe: every node
+  stores its 64-bit zobrist position hash, expansion first probes the
+  existing nodes, and a hit links the edge to the existing node instead of
+  allocating — the tree is a DAG, exactly like the reference's.  Cycles are
+  impossible (stone count increases monotonically with depth).
 """
 
 from __future__ import annotations
@@ -42,6 +44,7 @@ from ..game import vectorized as V
 from ..patterns import features as F
 from . import score as S
 from . import static_solver
+from . import zobrist
 
 NULL = jnp.int32(-1)
 
@@ -61,6 +64,8 @@ class MCTSConfig(NamedTuple):
     noise_alpha: float = 0.1
     leaf_batch: int = 1  # simulations selected per step under virtual loss
     # (reference: SearchTaskList batching, Search.hpp:56-96)
+    use_transpositions: bool = True  # hash-probe node sharing (reference:
+    # NodeCache transposition tree, NodeCache.hpp:51-120)
 
 
 class Tree(NamedTuple):
@@ -82,6 +87,7 @@ class Tree(NamedTuple):
     edge_value_sum: jax.Array  # [B, N, K, 2] f32
     edge_score: jax.Array  # [B, N, K] uint16
     edge_q_init: jax.Array  # [B, N, K] bf16 (q-head prior expectation)
+    node_hash: jax.Array  # [B, N, 2] uint32 position hash (transpositions)
     node_count: jax.Array  # [B] int32
 
     @property
@@ -108,6 +114,7 @@ def init_tree(batch: int, cfg: MCTSConfig) -> Tree:
         edge_value_sum=jnp.zeros((batch, n, k, 2), jnp.float32),
         edge_score=jnp.full((batch, n, k), S.zero()),
         edge_q_init=jnp.zeros((batch, n, k), jnp.bfloat16),
+        node_hash=jnp.zeros((batch, n, 2), jnp.uint32),
         node_count=jnp.zeros(batch, jnp.int32),
     )
 
@@ -500,8 +507,17 @@ def make_simulate_fn(
         # target edge (reference: Tree::expand + duplicate-expansion
         # handling, Tree.cpp:257-298)
         # ------------------------------------------------------------------
+        # transposition probe keys (reference: NodeCache::seek by full
+        # zobrist hash + exact verification, NodeCache.hpp:51-120; here the
+        # 64-bit key IS the identity — collision odds are negligible at
+        # tree sizes of ~1e3 nodes)
+        ztable = zobrist.make_table(h, w)
+        hash_s = split(zobrist.full_hash(ztable, boards_f, stm_f))  # S x [B, 2]
+        in_use = n_iota < tree.node_count[:, None]  # pre-step nodes only
+
         actions_s, priors_s, q_init_s, escore0_s, nodescore_s = [], [], [], [], []
-        do_expand_s, new_idx_s = [], []
+        do_expand_s, new_idx_s, link_target_s, link_flag_s = [], [], [], []
+        touch_node_s, touch_flag_s = [], []
         alloc = tree.node_count
         for s in range(NSIM):
             sub = subs[s]
@@ -530,18 +546,32 @@ def make_simulate_fn(
                 jnp.where(S.is_win(best_edge), best_edge, nscore_s[s]),
             ).astype(jnp.uint16)
 
+            # duplicate leaf edges within this step link to the first
+            # expander's node; transposition hits link to the existing node
             dup = jnp.zeros(bsz, bool)
+            dup_child = jnp.zeros(bsz, jnp.int32)
             for s2 in range(s):
-                dup = dup | (
+                m2 = (
                     do_expand_s[s2]
                     & (subs[s2].last_node == sub.last_node)
                     & (subs[s2].last_slot == sub.last_slot)
                 )
-            do_exp = sub.need_expand & ~dup & (alloc < tree.capacity)
+                dup = dup | m2
+                dup_child = jnp.where(m2, new_idx_s[s2], dup_child)
+            if cfg.use_transpositions:
+                hmatch = (tree.node_hash == hash_s[s][:, None, :]).all(-1) & in_use
+                found = jnp.any(hmatch, -1) & sub.need_expand & ~terminal_s[s] & ~dup
+                found_idx = jnp.argmax(hmatch, -1).astype(jnp.int32)
+            else:
+                found = jnp.zeros(bsz, bool)
+                found_idx = jnp.zeros(bsz, jnp.int32)
+
+            do_exp = sub.need_expand & ~dup & ~found & (alloc < tree.capacity)
             new_idx = jnp.where(do_exp, alloc, 0)
             alloc = alloc + do_exp.astype(jnp.int32)
 
-            # refresh backup seeds with the statically proven node score
+            # refresh backup seeds: statically proven new-node score, or the
+            # transposed node's existing (possibly proven) score
             start_score_s[s] = jnp.where(
                 sub.need_expand, node_score_new, start_score_s[s]
             )
@@ -549,6 +579,21 @@ def make_simulate_fn(
                 (sub.need_expand & S.is_proven(node_score_new))[:, None],
                 S.convert_to_value(node_score_new),
                 start_value_s[s],
+            )
+            found_score = tree.node_score[b, jnp.where(found, found_idx, 0)]
+            start_score_s[s] = jnp.where(found, found_score, start_score_s[s])
+            start_value_s[s] = jnp.where(
+                (found & S.is_proven(found_score))[:, None],
+                S.convert_to_value(found_score),
+                start_value_s[s],
+            )
+
+            link_flag = do_exp | found
+            link_target = jnp.where(found, found_idx, new_idx)
+            # stat credit for the reached child when no node was created
+            touch_flag = ((~sub.need_expand) & (sub.steps > 0)) | found | dup
+            touch_node = jnp.where(
+                found, found_idx, jnp.where(dup, dup_child, sub.leaf)
             )
 
             actions_s.append(actions)
@@ -558,6 +603,10 @@ def make_simulate_fn(
             nodescore_s.append((node_score_new, complete))
             do_expand_s.append(do_exp)
             new_idx_s.append(new_idx)
+            link_target_s.append(link_target)
+            link_flag_s.append(link_flag)
+            touch_node_s.append(touch_node)
+            touch_flag_s.append(touch_flag)
 
         onehot_sn = jnp.stack(
             [
@@ -636,16 +685,20 @@ def make_simulate_fn(
                 node_complete=jnp.where(
                     rm, (complete & ~terminal_s[s])[:, None], tree.node_complete
                 ),
+                node_hash=jnp.where(
+                    rm[..., None], hash_s[s][:, None, :], tree.node_hash
+                ),
             )
-            link_node = jnp.where(do_expand_s[s], subs[s].last_node, NULL)
-            link_slot = jnp.where(do_expand_s[s], subs[s].last_slot, 0)
+            # link the edge to the new node OR the transposed existing node
+            link_node = jnp.where(link_flag_s[s], subs[s].last_node, NULL)
+            link_slot = jnp.where(link_flag_s[s], subs[s].last_slot, 0)
             link_mask = (n_iota == link_node[:, None])[:, :, None] & (
                 k_iota[None, None, :] == link_slot[:, None, None]
             )
             tree = tree._replace(
                 edge_child=jnp.where(
                     link_mask,
-                    new_idx_s[s].astype(jnp.int16)[:, None, None],
+                    link_target_s[s].astype(jnp.int16)[:, None, None],
                     tree.edge_child,
                 )
             )
@@ -654,14 +707,10 @@ def make_simulate_fn(
             dep = tree.node_count + tree.edge_child[:, 0, 0]
             return state._replace(tree=tree, sims_done=state.sims_done + NSIM + dep * 0)
 
-        # leaf-node stat update for non-expanding visits (proven revisits /
-        # depth cutoffs / duplicate expansions)
+        # stat credit for reached-but-not-created nodes: proven revisits,
+        # depth cutoffs, duplicate expansions, transposition hits
         for s in range(NSIM):
-            sub = subs[s]
-            leaf_touch = ((~sub.need_expand) & (sub.steps > 0)) | (
-                sub.need_expand & ~do_expand_s[s]
-            )
-            lm = (n_iota == sub.leaf[:, None]) & leaf_touch[:, None]
+            lm = (n_iota == touch_node_s[s][:, None]) & touch_flag_s[s][:, None]
             tree = tree._replace(
                 node_visits=tree.node_visits + lm.astype(jnp.int32),
                 node_value_sum=tree.node_value_sum
@@ -857,6 +906,9 @@ def init_root(
         edge_prior=tree.edge_prior.at[:, 0].set(priors.astype(jnp.bfloat16)),
         edge_score=tree.edge_score.at[:, 0].set(edge_scores0),
         edge_q_init=tree.edge_q_init.at[:, 0].set(q_init.astype(jnp.bfloat16)),
+        node_hash=tree.node_hash.at[:, 0].set(
+            zobrist.full_hash(zobrist.make_table(h, w), board, stm)
+        ),
         node_count=jnp.ones(bsz, jnp.int32),
     )
     noisy = priors

@@ -33,9 +33,11 @@ INCR_LANES = 4  # 128-bit
 
 
 class ZobristTable(NamedTuple):
-    cell_keys: jax.Array  # [H*W, 2, FULL_LANES] uint32 per (cell, sign-1)
-    stm_keys: jax.Array  # [2, FULL_LANES] uint32 side-to-move keys
-    cell_keys_incr: jax.Array  # [H*W, 2, INCR_LANES] uint32
+    # cached as host numpy (a cached jnp constant would capture the tracer
+    # of whichever jit first built it); jnp ops convert per-trace
+    cell_keys: np.ndarray  # [H*W, 2, FULL_LANES] uint32 per (cell, sign-1)
+    stm_keys: np.ndarray  # [2, FULL_LANES] uint32 side-to-move keys
+    cell_keys_incr: np.ndarray  # [H*W, 2, INCR_LANES] uint32
 
 
 @functools.lru_cache(maxsize=None)
@@ -44,7 +46,7 @@ def make_table(rows: int, cols: int, seed: int = 0x5EED) -> ZobristTable:
     n = rows * cols
 
     def keys(shape):
-        return jnp.asarray(rng.integers(0, 2**32, size=shape, dtype=np.uint32))
+        return rng.integers(0, 2**32, size=shape, dtype=np.uint32)
 
     return ZobristTable(
         cell_keys=keys((n, 2, FULL_LANES)),
@@ -90,6 +92,7 @@ def update_hash(
     """O(1) per-move update of the 128-bit hash [B, 4]: flat `action` [B],
     `sign` [B] in {CROSS, CIRCLE} (reference: FastZobristHashing::updateHash
     — XOR is its own inverse, so the same call undoes a move)."""
-    idx = jnp.clip(action, 0, table.cell_keys_incr.shape[0] - 1)
+    keys = jnp.asarray(table.cell_keys_incr)
+    idx = jnp.clip(action, 0, keys.shape[0] - 1)
     col = jnp.where(sign == CROSS, 0, 1)
-    return h ^ table.cell_keys_incr[idx, col]
+    return h ^ keys[idx, col]
