@@ -66,6 +66,8 @@ class MCTSConfig(NamedTuple):
     # (reference: SearchTaskList batching, Search.hpp:56-96)
     use_transpositions: bool = True  # hash-probe node sharing (reference:
     # NodeCache transposition tree, NodeCache.hpp:51-120)
+    symmetry_averaging: bool = False  # random symmetry per NN evaluation
+    # (reference: NNEvaluator augmentation, NNEvaluator.cpp:134-141)
 
 
 class Tree(NamedTuple):
@@ -242,13 +244,41 @@ def _edge_scores_from_analysis(
 
 
 def _evaluate(
-    net_apply: Callable, variables: Any, tables: V.RuleTables, board, stm, raw_input: bool
+    net_apply: Callable,
+    variables: Any,
+    tables: V.RuleTables,
+    board,
+    stm,
+    raw_input: bool,
+    sym_modes: jax.Array | None = None,
 ):
     """NN forward on [B,H,W] boards: returns (policy [B,H,W] masked probs,
-    value (win,draw) [B,2], q_expect [B,H,W], moves_left [B], legal mask)."""
+    value (win,draw) [B,2], q_expect [B,H,W], moves_left [B], legal mask).
+
+    `sym_modes` [B] applies a per-sample board symmetry before the network
+    and the inverse to the spatial outputs — random per-evaluation symmetry
+    averaging (reference: NNEvaluator random augmentation + inverse unpack,
+    NNEvaluator.cpp:134-141,263-286)."""
+    from ..utils import augment as AUG
+
     packed = F.encode(tables, board, stm)
-    planes = F.unpack_raw_planes(packed) if raw_input else F.unpack_planes(packed)
+    if sym_modes is not None:
+        packed_in = F.augment_features_batch(packed, sym_modes)
+    else:
+        packed_in = packed
+    planes = F.unpack_raw_planes(packed_in) if raw_input else F.unpack_planes(packed_in)
     out = net_apply(variables, planes)
+    if sym_modes is not None:
+        out = out._replace(
+            policy_logits=AUG.inverse_symmetry_batch(out.policy_logits, sym_modes),
+            q_logits=(
+                AUG.inverse_symmetry_batch(
+                    jnp.moveaxis(out.q_logits, -1, 1), sym_modes
+                ).transpose(0, 2, 3, 1)
+                if out.q_logits is not None
+                else None
+            ),
+        )
     legal = (packed & 1) == 1
     # renju-forbidden cells are excluded from expansion (reference:
     # UnifiedGenerator skips forbidden moves, EdgeGenerator.cpp:23-124)
@@ -453,8 +483,18 @@ def make_simulate_fn(
         terminal_f = outcome != jnp.int8(int(GameOutcome.UNKNOWN))
         term_score_f = S.from_outcome(outcome, stm_f)  # leaf's own view
 
+        if cfg.symmetry_averaging:
+            # deterministic pseudo-random per-evaluation symmetry: varies by
+            # step counter, sub-simulation, and reached cell
+            nsym = 8 if h == w else 4
+            ctr = jnp.concatenate(
+                [state.sims_done + 17 * s for s in range(NSIM)], 0
+            )
+            sym_f = (lr_f * 3 + lc_f * 5 + ctr) % nsym
+        else:
+            sym_f = None
         policy_f, value_f, q_expect_f, moves_left_f, legal_f, packed_f = _evaluate(
-            net_apply, variables, tables, boards_f, stm_f, raw_input
+            net_apply, variables, tables, boards_f, stm_f, raw_input, sym_f
         )
         value_f = jnp.where(
             terminal_f[:, None], S.convert_to_value(term_score_f), value_f

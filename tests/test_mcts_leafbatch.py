@@ -97,3 +97,28 @@ def test_blocks_with_leaf_batch(net_and_vars, tables):
     )
     move = int(np.asarray(mcts.select_move(state))[0])
     assert (move // W, move % W) == (4, 5)
+
+
+def test_symmetry_averaging_search(net_and_vars, tables):
+    """Per-evaluation symmetry averaging (reference: NNEvaluator random
+    augmentation) must not break tactical play."""
+    txt = """
+    _ _ _ _ _ _ _ _ _
+    _ _ _ _ _ _ _ _ _
+    _ _ _ _ _ _ _ _ _
+    _ _ _ _ _ _ _ _ _
+    _ X X X X _ _ _ _
+    _ _ _ _ _ _ _ _ _
+    _ _ O O O _ _ _ _
+    _ _ _ _ _ _ _ _ _
+    _ _ _ _ _ _ _ _ _
+    """
+    apply, variables = net_and_vars
+    cfg = mcts.MCTSConfig(
+        max_nodes=136, max_edges=H * W, max_depth=16, symmetry_averaging=True
+    )
+    boards = board_mod.from_string(txt)[None]
+    f = jax.jit(lambda v, b, s: mcts.run_search(apply, v, tables, cfg, b, s, 128))
+    state = f(variables, jnp.asarray(boards), jnp.asarray([CROSS], np.int8))
+    move = int(np.asarray(mcts.select_move(state))[0])
+    assert (move // W, move % W) in [(4, 0), (4, 5)]
