@@ -178,6 +178,15 @@ class Engine:
     ) -> SearchSummary:
         from ..search import selectors
 
+        # keep root statistics for search-info dumps (reference:
+        # SearchEngine::logSearchInfo, SearchEngine.cpp:149-241)
+        tree = state.tree
+        self._last_root = {
+            "actions": np.asarray(tree.edge_action[:, 0])[0],
+            "visits": np.asarray(tree.edge_visits[:, 0])[0],
+            "vsum": np.asarray(tree.edge_value_sum[:, 0])[0],
+            "prior": np.asarray(tree.edge_prior[:, 0].astype(jnp.float32))[0],
+        }
         move_flat = int(np.asarray(selectors.select(state, selector))[0])
         r, c = move_flat // self.cols, move_flat % self.cols
         val = np.asarray(mcts.root_value(state))[0]
@@ -226,6 +235,44 @@ class Engine:
                 break
             node = child
         return pv
+
+    def search_info_text(self, summary: SearchSummary) -> str:
+        """Post-search dump: board diagram, top edges, PV
+        (reference: SearchEngine::logSearchInfo ASCII dumps,
+        SearchEngine.cpp:149-241)."""
+        from ..game import board as board_mod
+
+        lines = [board_mod.to_string(self.board_array())]
+        lines.append(
+            f"best {summary.best_move.text()}  ev {summary.expectation:.3f} "
+            f"(w {summary.win_rate:.3f} d {summary.draw_rate:.3f})  "
+            f"sims {summary.simulations}  nodes {summary.nodes}  "
+            f"time {summary.time_used:.2f}s  {summary.proven}"
+        )
+        root = getattr(self, "_last_root", None)
+        if root is not None:
+            order = np.argsort(-root["visits"])[:10]
+            rows = []
+            for i in order:
+                a = int(root["actions"][i])
+                if a < 0:
+                    continue
+                n = float(root["visits"][i])
+                q = (
+                    (root["vsum"][i, 0] + 0.5 * root["vsum"][i, 1]) / n
+                    if n > 0
+                    else 0.0
+                )
+                mv = Move(row=a // self.cols, col=a % self.cols, sign=0)
+                rows.append(
+                    f"  {mv.text()[1:]:>4s}  N={int(n):6d}  Q={q:.3f}  "
+                    f"P={float(root['prior'][i]):.3f}"
+                )
+            lines.append("top edges:")
+            lines.extend(rows)
+        if summary.principal_variation:
+            lines.append("pv: " + " ".join(m.text() for m in summary.principal_variation))
+        return "\n".join(lines)
 
     def forbidden_moves(self) -> list[Move]:
         """Renju forbidden cells of the current position (for SHOWFORBID,

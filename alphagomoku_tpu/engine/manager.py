@@ -126,6 +126,9 @@ class ProgramManager:
             self.time_manager.start_timer()
             summary = engine.search(self._time_budget_s())
             self.time_manager.stop_timer()
+            from ..utils.logger import log
+
+            log("search", engine.search_info_text(summary))
             self.output_queue.push(
                 Message(
                     MessageType.INFO_MESSAGE,
