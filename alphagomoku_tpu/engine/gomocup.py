@@ -319,6 +319,9 @@ class ExtendedGomocupProtocol(GomocupProtocol):
         self.register_input("balance", self._in_balance)
         self.register_input("clearhash", self._in_clearhash)
         self.register_input("protocolversion", self._in_protocolversion)
+        self.register_input("proboard", self._in_proboard)
+        self.register_input("longproboard", self._in_proboard)
+        self.register_input("swapboard", self._in_swapboard)
         self.register_input("swap2board", self._in_swap2board)
 
     def _in_play(self, listener: InputListener) -> None:
@@ -366,10 +369,13 @@ class ExtendedGomocupProtocol(GomocupProtocol):
         listener.consume_line()
         self.output_queue.push(Message(MessageType.PLAIN_STRING, "1"))
 
-    def _in_swap2board(self, listener: InputListener) -> None:
-        """Swap2 opening negotiation (reference:
-        ExtendedGomocupProtocol.cpp SWAP2BOARD + Swap2Controller)."""
-        listener.consume_line()
+    def _in_proboard(self, listener: InputListener) -> None:
+        """Pro/long-pro openings are not supported, acknowledged as unknown
+        (reference: ExtendedGomocupProtocol.cpp:281-290)."""
+        line = listener.get_line()
+        self.output_queue.push(Message(MessageType.UNKNOWN_COMMAND, line))
+
+    def _read_ordered_moves(self, listener: InputListener) -> list[Move]:
         moves: list[Move] = []
         sign = CROSS
         while True:
@@ -377,8 +383,29 @@ class ExtendedGomocupProtocol(GomocupProtocol):
             if line.strip().lower() == "done":
                 break
             m = self.move_from_string(line, sign)
+            self._check_valid(m, moves)
             moves.append(m)
             sign = invert_sign(sign)
-        self.list_of_moves = moves
-        self.input_queue.push(Message(MessageType.SET_POSITION, list(moves)))
+        return moves
+
+    def _in_swapboard(self, listener: InputListener) -> None:
+        """Swap opening: after 1 stone, decide swap-or-play
+        (reference: ExtendedGomocupProtocol.cpp:291-299)."""
+        listener.consume_line()
+        self.list_of_moves = self._read_ordered_moves(listener)
+        self.input_queue.push(Message(MessageType.STOP_SEARCH))
+        self.input_queue.push(
+            Message(MessageType.SET_POSITION, list(self.list_of_moves))
+        )
+        self.input_queue.push(Message(MessageType.START_SEARCH, "swap"))
+
+    def _in_swap2board(self, listener: InputListener) -> None:
+        """Swap2 opening negotiation (reference:
+        ExtendedGomocupProtocol.cpp SWAP2BOARD + Swap2Controller)."""
+        listener.consume_line()
+        self.list_of_moves = self._read_ordered_moves(listener)
+        self.input_queue.push(Message(MessageType.STOP_SEARCH))
+        self.input_queue.push(
+            Message(MessageType.SET_POSITION, list(self.list_of_moves))
+        )
         self.input_queue.push(Message(MessageType.START_SEARCH, "swap2"))

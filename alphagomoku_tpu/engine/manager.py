@@ -148,6 +148,14 @@ class ProgramManager:
             )
         elif mode == "ponder":
             pass  # pondering is a no-op without a persistent background search
+        elif mode == "swap":
+            # after the opponent's opening stone(s): take their color when
+            # the mover is behind, play otherwise (reference: SwapController)
+            summary = engine.search(self._time_budget_s(), selector="balanced")
+            if summary.expectation < 0.5:
+                self.output_queue.push(Message(MessageType.PLAIN_STRING, "SWAP"))
+            else:
+                self.output_queue.push(Message(MessageType.BEST_MOVE, summary.best_move))
         elif mode.startswith("swap2") or mode.startswith("balance"):
             # balancing searches pick the closest-to-draw move
             # (reference: Swap2Controller + BalancedSelector,

@@ -229,3 +229,19 @@ def test_extended_swap2board():
     assert len(f.protocol.list_of_moves) == 3
     assert f.protocol.list_of_moves[0].sign == CROSS
     assert f.protocol.list_of_moves[1].sign == CIRCLE
+
+
+def test_extended_swapboard():
+    f = Fixture(ExtendedGomocupProtocol)
+    f.feed("START 15", "SWAPBOARD", "7,7", "DONE")
+    msgs = f.input_types()
+    starts = [d for t, d in msgs if t == MessageType.START_SEARCH]
+    assert starts and starts[-1] == "swap"
+    assert f.protocol.list_of_moves == [Move(row=7, col=7, sign=CROSS)]
+
+
+def test_extended_proboard_unknown():
+    f = Fixture(ExtendedGomocupProtocol)
+    f.feed("PROBOARD")
+    f.flush()
+    assert any(s.startswith("UNKNOWN") for s in f.sent)
