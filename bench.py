@@ -23,7 +23,7 @@ def main() -> None:
     from alphagomoku_tpu.models import create_network
     from alphagomoku_tpu.search import mcts
 
-    BATCH = 1024
+    BATCH = 1280
     H = W = 15
     SIMS_PER_CALL = 400  # one full search at the 800-sims/move regime
     CALLS = 2
@@ -36,7 +36,7 @@ def main() -> None:
     def apply(v, planes):
         return net.apply(v, planes, train=False)
 
-    cfg = mcts.MCTSConfig(max_nodes=SIMS_PER_CALL + 8, max_edges=32, max_depth=32)
+    cfg = mcts.MCTSConfig(max_nodes=SIMS_PER_CALL + 8, max_edges=32, max_depth=24)
 
     rng = np.random.default_rng(0)
     boards = np.zeros((BATCH, H, W), np.int8)
