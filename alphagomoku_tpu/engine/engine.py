@@ -122,7 +122,11 @@ class Engine:
     # -- search ------------------------------------------------------------
 
     def search(
-        self, time_budget: float | None = None, selector: str = "best"
+        self,
+        time_budget: float | None = None,
+        selector: str = "best",
+        on_chunk=None,
+        max_simulations: int | None = None,
     ) -> SearchSummary:
         """Run the search on the current position.
 
@@ -156,9 +160,16 @@ class Engine:
 
         state = self._init_fn(self.variables, board, stm)
         sims = 0
-        while sims < self.simulations:
+        target = max_simulations if max_simulations is not None else self.simulations
+        while sims < target:
             state = self._chunk_fn(self.variables, state)
             sims += self.sim_chunk
+            if on_chunk is not None:
+                on_chunk(
+                    self._summarize(
+                        state, stm_val, sims, time.monotonic() - t0, selector
+                    )
+                )
             root_score = np.asarray(state.tree.node_score[:, 0])[0]
             if bool(S.is_proven(jnp.asarray(root_score))):
                 break

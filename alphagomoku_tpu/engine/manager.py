@@ -77,7 +77,15 @@ class ProgramManager:
         self._checkpoint = checkpoint
         self._simulations = simulations
         self.engine: Engine | None = None
+        self._bg_search = None
         self._running = True
+
+    def _stop_background_search(self) -> None:
+        if self.engine is not None:
+            self.engine.stop()
+        if self._bg_search is not None and self._bg_search.is_alive():
+            self._bg_search.join(timeout=30.0)
+        self._bg_search = None
 
     # -- engine lifecycle --------------------------------------------------
 
@@ -122,6 +130,8 @@ class ProgramManager:
 
     def _start_search(self, mode: str) -> None:
         engine = self._setup_engine()
+        if mode not in ("ponder", "analyze"):
+            self._stop_background_search()
         if mode.startswith("bestmove"):
             self.time_manager.start_timer()
             summary = engine.search(self._time_budget_s())
@@ -146,8 +156,35 @@ class ProgramManager:
             self.output_queue.push(
                 Message(MessageType.PLAIN_STRING, ("FORBID " + text).strip())
             )
-        elif mode == "ponder":
-            pass  # pondering is a no-op without a persistent background search
+        elif mode in ("ponder", "analyze"):
+            # background search emitting periodic analysis until STOP
+            # (reference: PonderingController + YixinBoard realtime
+            # POS/DONE analysis stream)
+            self._stop_background_search()
+
+            def run_bg():
+                def emit(summary):
+                    self.output_queue.push(
+                        Message(
+                            MessageType.INFO_MESSAGE,
+                            f"depth 1-{len(summary.principal_variation)} "
+                            f"ev {summary.expectation:.3f} n {summary.simulations} pv "
+                            + " ".join(
+                                m.text() for m in summary.principal_variation[:6]
+                            ),
+                        )
+                    )
+
+                engine.search(
+                    time_budget=3600.0,
+                    on_chunk=emit if mode == "analyze" else None,
+                    max_simulations=1 << 22,
+                )
+
+            import threading
+
+            self._bg_search = threading.Thread(target=run_bg, daemon=True)
+            self._bg_search.start()
         elif mode == "swap":
             # after the opponent's opening stone(s): take their color when
             # the mover is behind, play otherwise (reference: SwapController)
@@ -175,12 +212,12 @@ class ProgramManager:
         elif msg.type == MessageType.SET_OPTION:
             self._set_option(*msg.data)
         elif msg.type == MessageType.SET_POSITION:
+            self._stop_background_search()
             self._setup_engine().set_position(msg.data)
         elif msg.type == MessageType.START_SEARCH:
             self._start_search(str(msg.data))
         elif msg.type == MessageType.STOP_SEARCH:
-            if self.engine is not None:
-                self.engine.stop()
+            self._stop_background_search()
         elif msg.type == MessageType.EXIT_PROGRAM:
             self._running = False
 

@@ -73,3 +73,19 @@ def test_showforbid(manager):
     assert any(l.startswith("FORBID") for l in out)
     manager.options["rules"] = "FREESTYLE"
     manager.engine = None
+
+
+def test_ponder_and_stop(manager):
+    """Background pondering starts and STOP terminates it cleanly."""
+    import time
+
+    drive(manager, "RESTART")
+    out = drive(manager, "PONDER")
+    time.sleep(1.0)
+    assert manager._bg_search is not None
+    out = drive(manager, "STOP")
+    assert manager._bg_search is None
+    # engine remains usable after the stop
+    out = drive(manager, "TURN 3,3")
+    moves = [l for l in out if "," in l and not l.startswith(("MESSAGE", "ERROR"))]
+    assert len(moves) == 1
