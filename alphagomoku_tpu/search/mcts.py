@@ -56,8 +56,11 @@ class MCTSConfig(NamedTuple):
     max_nodes: int = 1024
     max_edges: int = 32  # max_children (reference default from auto-config)
     max_depth: int = 48
+    policy: str = "puct"  # puct | puct_fpu | ucb (reference: EdgeSelector
+    # registry selectable by config string, EdgeSelector.cpp:680+)
     exploration_constant: float = 1.25  # c_puct
     exploration_scaling: float = 0.0  # * log(parent visits)
+    fpu_reduction: float = 0.25  # puct_fpu: first-play urgency below parent Q
     init_to: str = "parent"  # loss | draw | parent | q_head
     policy_expansion_temperature: float = 1.0
     noise_weight: float = 0.0  # dirichlet noise at root (selfplay)
@@ -149,11 +152,17 @@ def _edge_utility(
 
     nf = visits.astype(jnp.float32)
     expectation = (vsum[..., 0] + 0.5 * vsum[..., 1]) / jnp.maximum(nf, 1.0)
-    if cfg.init_to == "parent":
-        pv_sum = tree.node_value_sum[b, node]
-        pn = jnp.maximum(n_parent, 1.0)
-        q_init = ((pv_sum[..., 0] + 0.5 * pv_sum[..., 1]) / pn)[:, None]
-        q_init = jnp.broadcast_to(q_init, expectation.shape)
+    pv_sum = tree.node_value_sum[b, node]
+    pn = jnp.maximum(n_parent, 1.0)
+    parent_q = ((pv_sum[..., 0] + 0.5 * pv_sum[..., 1]) / pn)[:, None]
+    if cfg.policy == "puct_fpu":
+        # first-play urgency: unvisited edges start below the parent value
+        # (reference: PUCTfpuSelector, EdgeSelector.cpp:862-890)
+        q_init = jnp.broadcast_to(
+            jnp.maximum(parent_q - cfg.fpu_reduction, 0.0), expectation.shape
+        )
+    elif cfg.init_to == "parent":
+        q_init = jnp.broadcast_to(parent_q, expectation.shape)
     elif cfg.init_to == "draw":
         q_init = jnp.full_like(expectation, 0.5)
     elif cfg.init_to == "q_head":
@@ -173,7 +182,13 @@ def _edge_utility(
         n_parent = n_parent + vlf.sum(-1)
         nf = nf + vlf
 
-    u = prior * (c_puct * jnp.sqrt(n_parent))[:, None] / (1.0 + nf)
+    if cfg.policy == "ucb":
+        # prior-free UCB1 (reference: UCBSelector, EdgeSelector.cpp:424+)
+        u = cfg.exploration_constant * jnp.sqrt(
+            jnp.log(jnp.maximum(n_parent, 1.0))[:, None] / (1.0 + nf)
+        )
+    else:
+        u = prior * (c_puct * jnp.sqrt(n_parent))[:, None] / (1.0 + nf)
     util = q + u
 
     # proven edges pin the utility (reference: EdgeSelector.cpp:400-410)

@@ -122,3 +122,27 @@ def test_symmetry_averaging_search(net_and_vars, tables):
     state = f(variables, jnp.asarray(boards), jnp.asarray([CROSS], np.int8))
     move = int(np.asarray(mcts.select_move(state))[0])
     assert (move // W, move % W) in [(4, 0), (4, 5)]
+
+
+@pytest.mark.parametrize("policy", ["puct_fpu", "ucb"])
+def test_selector_policies_find_win(net_and_vars, tables, policy):
+    """Alternative in-tree policies (reference EdgeSelector zoo) still find
+    the forced win."""
+    txt = """
+    _ _ _ _ _ _ _ _ _
+    _ _ _ _ _ _ _ _ _
+    _ _ _ _ _ _ _ _ _
+    _ _ _ _ _ _ _ _ _
+    _ X X X X _ _ _ _
+    _ _ _ _ _ _ _ _ _
+    _ _ O O O _ _ _ _
+    _ _ _ _ _ _ _ _ _
+    _ _ _ _ _ _ _ _ _
+    """
+    apply, variables = net_and_vars
+    cfg = mcts.MCTSConfig(max_nodes=72, max_edges=H * W, max_depth=16, policy=policy)
+    boards = board_mod.from_string(txt)[None]
+    f = jax.jit(lambda v, b, s: mcts.run_search(apply, v, tables, cfg, b, s, 64))
+    state = f(variables, jnp.asarray(boards), jnp.asarray([CROSS], np.int8))
+    move = int(np.asarray(mcts.select_move(state))[0])
+    assert (move // W, move % W) in [(4, 0), (4, 5)]
