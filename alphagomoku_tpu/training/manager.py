@@ -232,14 +232,33 @@ class TrainingManager:
         }
         total = 0
         rounds = max(1, cfg.games_per_iteration // cfg.selfplay_batch)
-        for r in range(rounds):
-            key = jax.random.PRNGKey(self.rng.integers(2**31))
-            result = self._play(variables, key)
-            targets = make_targets(result, cfg.rows * cfg.cols)
-            total += self.buffer.add_generation(iteration * 1000 + r, targets)
-        self.buffer.save_generation(
-            max(self.buffer.generations), buf_path
-        )
+        state_dir = os.path.join(cfg.working_dir, "saved_state")
+        sig = _SigintFlag()
+        try:
+            for r in range(rounds):
+                gen_id = iteration * 1000 + r
+                part_path = os.path.join(state_dir, f"part_{gen_id}.npz")
+                if os.path.exists(part_path):
+                    # interrupted run left a finished round: resume from it
+                    # (reference: GeneratorManager state save/load,
+                    # GeneratorManager.cpp:240-291)
+                    self.buffer.load_generation(gen_id, part_path)
+                    total += len(self.buffer.generations[gen_id]["stm"])
+                    continue
+                key = jax.random.PRNGKey(self.rng.integers(2**31))
+                result = self._play(variables, key)
+                targets = make_targets(result, cfg.rows * cfg.cols)
+                total += self.buffer.add_generation(gen_id, targets)
+                self.buffer.save_generation(gen_id, part_path)
+                if sig.hit:
+                    return total  # partial rounds persist for resume
+        finally:
+            sig.restore()
+        self.buffer.save_generation(max(self.buffer.generations), buf_path)
+        for r in range(rounds):  # round snapshots fold into the buffer file
+            part = os.path.join(state_dir, f"part_{iteration * 1000 + r}.npz")
+            if os.path.exists(part):
+                os.remove(part)
         with open(
             os.path.join(self.cfg.working_dir, "buffer_stats.txt"), "a"
         ) as fh:

@@ -51,3 +51,33 @@ def test_rl_iteration_and_resume(tiny_cfg):
     assert mgr2.metadata["last_checkpoint"] == 0
     n = mgr2.generate_games(0)  # buffer_0 exists -> loaded, not regenerated
     assert n > 0
+
+
+def test_round_snapshot_resume(tiny_cfg):
+    """A finished selfplay round persists under saved_state/ and is reused
+    on resume instead of being regenerated (reference: GeneratorManager
+    state save/load)."""
+    import numpy as np
+    from alphagomoku_tpu.data.replay import FIELDS
+
+    mgr = TrainingManager(tiny_cfg)
+    wd = tiny_cfg.working_dir
+    # fabricate a completed round snapshot for iteration 1
+    gen_id = 1 * 1000 + 0
+    part = os.path.join(wd, "saved_state", f"part_{gen_id}.npz")
+    fake = {
+        "board": np.zeros((5, 9, 9), np.int8),
+        "stm": np.full(5, 1, np.int8),
+        "policy": np.full((5, 9, 9), 1 / 81, np.float32),
+        "value_wdl": np.tile(np.asarray([[1.0, 0, 0]], np.float32), (5, 1)),
+        "q_value": np.zeros((5, 9, 9, 2), np.float32),
+        "q_mask": np.zeros((5, 9, 9), bool),
+        "root_value": np.zeros((5, 2), np.float32),
+        "moves_left": np.zeros(5, np.int32),
+        "played_move": np.zeros(5, np.int32),
+    }
+    np.savez_compressed(part.replace(".npz", ""), **fake)
+    n = mgr.generate_games(1)
+    assert n == 5  # snapshot consumed, nothing regenerated
+    assert not os.path.exists(part)  # folded into the buffer file
+    assert os.path.exists(os.path.join(wd, "train_buffer", "buffer_1.npz"))
