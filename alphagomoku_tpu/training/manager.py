@@ -65,6 +65,8 @@ class ManagerConfig:
     learning_rate: float = 1e-3
     gating_games: int = 64
     use_gating: bool = False  # gating needs the eval module match runner
+    validation_fraction: float = 0.05  # (reference: validation_percent,
+    # TrainingManager.cpp:188 + valid_buffer/ split)
     seed: int = 0
 
 
@@ -87,7 +89,7 @@ class TrainingManager:
     def __init__(self, cfg: ManagerConfig):
         self.cfg = cfg
         wd = cfg.working_dir
-        for sub in ("checkpoint", "train_buffer", "saved_state"):
+        for sub in ("checkpoint", "train_buffer", "valid_buffer", "saved_state"):
             os.makedirs(os.path.join(wd, sub), exist_ok=True)
         self.metadata_path = os.path.join(wd, "metadata.json")
         self.metadata = self._load_metadata()
@@ -95,6 +97,7 @@ class TrainingManager:
         self.net = create_network(cfg.architecture, cfg.blocks, cfg.filters)
         self.rng = np.random.default_rng(cfg.seed)
         self.buffer = ReplayBuffer(cfg.buffer_window)
+        self.valid_buffer = ReplayBuffer(cfg.buffer_window)
 
         self.variables = self._init_or_load_network()
         self.train_cfg = T.TrainConfig(learning_rate=cfg.learning_rate)
@@ -248,13 +251,31 @@ class TrainingManager:
                 key = jax.random.PRNGKey(self.rng.integers(2**31))
                 result = self._play(variables, key)
                 targets = make_targets(result, cfg.rows * cfg.cols)
-                total += self.buffer.add_generation(gen_id, targets)
+                # train/validation split (reference: splitBuffer into
+                # train_buffer/ + valid_buffer/, TrainingManager.cpp:214)
+                import numpy as _np
+
+                tv = _np.asarray(targets["valid"])
+                split = self.rng.random(tv.shape) < cfg.validation_fraction
+                total += self.buffer.add_generation(
+                    gen_id, dict(targets, valid=tv & ~split)
+                )
+                self.valid_buffer.add_generation(
+                    gen_id, dict(targets, valid=tv & split)
+                )
                 self.buffer.save_generation(gen_id, part_path)
                 if sig.hit:
                     return total  # partial rounds persist for resume
         finally:
             sig.restore()
         self.buffer.save_generation(max(self.buffer.generations), buf_path)
+        if self.valid_buffer.num_samples:
+            self.valid_buffer.save_generation(
+                max(self.valid_buffer.generations),
+                os.path.join(
+                    cfg.working_dir, "valid_buffer", f"buffer_{iteration}.npz"
+                ),
+            )
         for r in range(rounds):  # round snapshots fold into the buffer file
             part = os.path.join(state_dir, f"part_{iteration * 1000 + r}.npz")
             if os.path.exists(part):
@@ -281,6 +302,21 @@ class TrainingManager:
         mean = {
             k: float(np.mean([h[k] for h in history])) for k in history[0]
         } if history else {}
+        # validation pass with top-k accuracy (reference:
+        # SupervisedLearning validation + training_history.txt,
+        # SupervisedLearning.cpp:231-304)
+        if self.valid_buffer.num_samples >= 64:
+            if not hasattr(self, "_eval_step"):
+                self._eval_step = jax.jit(
+                    T.make_eval_step(self.net, self.tables, self.train_cfg)
+                )
+            vbatch = self.valid_buffer.sample(
+                min(1024, self.valid_buffer.num_samples), self.rng
+            )
+            vparts = self._eval_step(
+                self.state, {k: jnp.asarray(v) for k, v in vbatch.items()}
+            )
+            mean.update({f"valid_{k}": float(v) for k, v in vparts.items()})
         with open(
             os.path.join(cfg.working_dir, "training_history.txt"), "a"
         ) as fh:
