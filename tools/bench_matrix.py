@@ -1,0 +1,67 @@
+"""Throughput matrix across rule variants and board sizes.
+
+Secondary benchmark tooling (the driver's headline number comes from
+bench.py); prints one JSON line per configuration."""
+
+import json
+import sys
+import time
+
+import numpy as np
+import jax
+import jax.numpy as jnp
+
+sys.path.insert(0, ".")
+
+from alphagomoku_tpu.game.types import GameRules, CROSS, CIRCLE
+from alphagomoku_tpu.game import vectorized as V
+from alphagomoku_tpu.models import create_network
+from alphagomoku_tpu.search import mcts
+
+
+def bench_config(rules: GameRules, size: int, batch: int = 1024, sims: int = 200):
+    tables = V.device_tables(rules)
+    net = create_network("ConvNextPVQMraw", blocks=6, filters=64)
+    x = jnp.zeros((batch, size, size, net.cfg.input_planes), jnp.bfloat16)
+    variables = net.init(jax.random.PRNGKey(0), x, train=False)
+    apply = lambda v, p: net.apply(v, p, train=False)
+    rng = np.random.default_rng(0)
+    boards = np.zeros((batch, size, size), np.int8)
+    for b in range(batch):
+        n = rng.integers(2, 8)
+        cells = rng.choice(size * size, size=n, replace=False)
+        boards[b].flat[cells] = np.where(np.arange(n) % 2 == 0, CROSS, CIRCLE)
+    boards = jnp.asarray(boards)
+    stm = jnp.full((batch,), CROSS, jnp.int8)
+    cfg = mcts.MCTSConfig(max_nodes=sims + 8, max_edges=32, max_depth=24)
+    f = jax.jit(
+        lambda v, b, s: mcts.run_search(apply, v, tables, cfg, b, s, sims)
+    )
+    st = f(variables, boards, stm)
+    jax.block_until_ready(st.tree.node_visits)
+    t0 = time.perf_counter()
+    st = f(variables, boards, stm)
+    jax.block_until_ready(st.tree.node_visits)
+    dt = time.perf_counter() - t0
+    print(
+        json.dumps(
+            {
+                "rules": rules.name,
+                "board": f"{size}x{size}",
+                "batch": batch,
+                "sims_per_s": round(batch * sims / dt, 1),
+            }
+        ),
+        flush=True,
+    )
+
+
+if __name__ == "__main__":
+    for rules, size in [
+        (GameRules.FREESTYLE, 15),
+        (GameRules.STANDARD, 15),
+        (GameRules.RENJU, 15),
+        (GameRules.CARO5, 15),
+        (GameRules.FREESTYLE, 20),
+    ]:
+        bench_config(rules, size)
