@@ -65,9 +65,14 @@ class Engine:
             with open(checkpoint, "rb") as fh:
                 self.variables = serialization.from_bytes(self.variables, fh.read())
         self.moves: list[Move] = []
+        # capacity 3x the per-move budget leaves headroom to carry the
+        # subtree across moves (reference: NodeCache tree reuse)
         self._mcfg = mcts.MCTSConfig(
-            max_nodes=simulations + 8, max_edges=32, max_depth=40
+            max_nodes=3 * simulations + 8, max_edges=32, max_depth=40
         )
+        self._last_state: mcts.SearchState | None = None
+        self._last_moves: list[Move] = []
+        self.reuse_count = 0
         self._init_fn = jax.jit(self._make_init)
         self._chunk_fn = jax.jit(self._make_chunk)
         self._vcf_fn = jax.jit(
@@ -158,7 +163,9 @@ class Engine:
                 proven=f"WIN in {dist}",
             )
 
-        state = self._init_fn(self.variables, board, stm)
+        state = self._warm_start(board, stm)
+        if state is None:
+            state = self._init_fn(self.variables, board, stm)
         sims = 0
         target = max_simulations if max_simulations is not None else self.simulations
         while sims < target:
@@ -170,14 +177,52 @@ class Engine:
                         state, stm_val, sims, time.monotonic() - t0, selector
                     )
                 )
-            root_score = np.asarray(state.tree.node_score[:, 0])[0]
+            root = int(np.asarray(state.root_node)[0])
+            root_score = np.asarray(state.tree.node_score[0, root])
             if bool(S.is_proven(jnp.asarray(root_score))):
                 break
             if time_budget is not None and time.monotonic() - t0 > time_budget:
                 break
             if self._stop_requested:
                 break
+        self._last_state = state
+        self._last_moves = list(self.moves)
         return self._summarize(state, stm_val, sims, time.monotonic() - t0, selector)
+
+    def _warm_start(self, board, stm) -> "mcts.SearchState | None":
+        """Carry the previous search's subtree when the position advanced by
+        one or two plies along explored edges (reference: Tree::setBoard +
+        NodeCache::cleanup subtree reuse, Tree.cpp:128-151)."""
+        prev_state, prev_moves = self._last_state, self._last_moves
+        if prev_state is None:
+            return None
+        delta = len(self.moves) - len(prev_moves)
+        if not (1 <= delta <= 2) or self.moves[: len(prev_moves)] != prev_moves:
+            return None
+        tree = prev_state.tree
+        if int(np.asarray(tree.node_count)[0]) + self.simulations > tree.capacity:
+            return None
+        node = int(np.asarray(prev_state.root_node)[0])
+        actions_all = np.asarray(tree.edge_action[0])
+        children_all = np.asarray(tree.edge_child[0])
+        for m in self.moves[len(prev_moves) :]:
+            a = m.row * self.cols + m.col
+            slots = np.where(actions_all[node] == a)[0]
+            if len(slots) == 0:
+                return None
+            child = int(children_all[node, slots[0]])
+            if child < 0:
+                return None
+            node = child
+        self.reuse_count += 1
+        return mcts.SearchState(
+            tree=tree,
+            root_board=board,
+            root_stm=stm,
+            root_node=jnp.full((1,), node, jnp.int32),
+            noisy_prior=jnp.asarray(tree.edge_prior[0:1, node]).astype(jnp.float32),
+            sims_done=jnp.zeros(1, jnp.int32),
+        )
 
     def _summarize(
         self,
@@ -192,17 +237,19 @@ class Engine:
         # keep root statistics for search-info dumps (reference:
         # SearchEngine::logSearchInfo, SearchEngine.cpp:149-241)
         tree = state.tree
+        root = int(np.asarray(state.root_node)[0])
         self._last_root = {
-            "actions": np.asarray(tree.edge_action[:, 0])[0],
-            "visits": np.asarray(tree.edge_visits[:, 0])[0],
-            "vsum": np.asarray(tree.edge_value_sum[:, 0])[0],
-            "prior": np.asarray(tree.edge_prior[:, 0].astype(jnp.float32))[0],
+            "actions": np.asarray(tree.edge_action[0, root]),
+            "visits": np.asarray(tree.edge_visits[0, root]),
+            "vsum": np.asarray(tree.edge_value_sum[0, root]),
+            "prior": np.asarray(tree.edge_prior[0, root].astype(jnp.float32)),
         }
         move_flat = int(np.asarray(selectors.select(state, selector))[0])
         r, c = move_flat // self.cols, move_flat % self.cols
         val = np.asarray(mcts.root_value(state))[0]
         nodes = int(np.asarray(state.tree.node_count)[0])
-        root_score = int(np.asarray(state.tree.node_score[0, 0]))
+        root = int(np.asarray(state.root_node)[0])
+        root_score = int(np.asarray(state.tree.node_score[0, root]))
         pv_names = {0: "LOSS", 1: "DRAW", 3: "WIN"}
         proven = ""
         if bool(S.is_proven(jnp.asarray(np.uint16(root_score)))):
@@ -231,7 +278,7 @@ class Engine:
         ev = np.asarray(tree.edge_visits[0])
         ec = np.asarray(tree.edge_child[0])
         pv: list[Move] = []
-        node = 0
+        node = int(np.asarray(state.root_node)[0])
         sign = self.sign_to_move()
         for _ in range(max_len):
             valid = ea[node] >= 0

@@ -323,11 +323,17 @@ def _evaluate(
 
 
 class SearchState(NamedTuple):
-    """Carry of the per-move search: tree + root position."""
+    """Carry of the per-move search: tree + root position.
+
+    `root_node` is a per-board node index, enabling between-move subtree
+    reuse: after a move the engine can point the root at the played child
+    and keep the accumulated statistics (reference: Tree::setBoard +
+    NodeCache::cleanup subtree carry-over, Tree.cpp:128-151)."""
 
     tree: Tree
     root_board: jax.Array  # [B, H, W] int8
     root_stm: jax.Array  # [B] int8 side to move at root
+    root_node: jax.Array  # [B] int32 index of the root node
     noisy_prior: jax.Array  # [B, K] root priors with exploration noise
     sims_done: jax.Array  # [B] int32
 
@@ -389,7 +395,7 @@ def make_simulate_fn(
                 (cur, boardc, stm, steps, done, need_expand, move_r, move_c,
                  pn, ps, d) = carry
                 prior = jnp.where(
-                    (cur == 0)[:, None], state.noisy_prior,
+                    (cur == state.root_node)[:, None], state.noisy_prior,
                     tree.edge_prior[b, cur].astype(jnp.float32),
                 )
                 if P:
@@ -437,7 +443,7 @@ def make_simulate_fn(
                 )
 
             init = (
-                jnp.zeros(bsz, jnp.int32),
+                state.root_node,
                 state.root_board,
                 state.root_stm,
                 jnp.zeros(bsz, jnp.int32),
@@ -907,6 +913,7 @@ def make_simulate_fn(
             tree=tree,
             root_board=state.root_board,
             root_stm=state.root_stm,
+            root_node=state.root_node,
             noisy_prior=state.noisy_prior,
             sims_done=state.sims_done + NSIM,
         )
@@ -981,6 +988,7 @@ def init_root(
         tree=tree,
         root_board=board,
         root_stm=stm,
+        root_node=jnp.zeros(bsz, jnp.int32),
         noisy_prior=noisy,
         sims_done=jnp.zeros(bsz, jnp.int32),
     )
@@ -1023,8 +1031,9 @@ def root_visit_distribution(state: SearchState) -> jax.Array:
     tree = state.tree
     bsz = tree.batch
     h, w = state.root_board.shape[1], state.root_board.shape[2]
-    visits = tree.edge_visits[:, 0].astype(jnp.float32)  # [B, K]
-    actions = tree.edge_action[:, 0]
+    rb = jnp.arange(bsz)
+    visits = tree.edge_visits[rb, state.root_node].astype(jnp.float32)  # [B, K]
+    actions = tree.edge_action[rb, state.root_node]
     valid = actions != NULL
     visits = jnp.where(valid, visits, 0.0)
     dist = jnp.zeros((bsz, h * w), jnp.float32)
@@ -1038,8 +1047,11 @@ def root_visit_distribution(state: SearchState) -> jax.Array:
 def root_value(state: SearchState) -> jax.Array:
     """Root (win, draw) estimate [B, 2]."""
     tree = state.tree
-    n = jnp.maximum(tree.node_visits[:, 0].astype(jnp.float32), 1.0)
-    return tree.node_value_sum[:, 0] / n[:, None]
+    rb = jnp.arange(tree.batch)
+    n = jnp.maximum(
+        tree.node_visits[rb, state.root_node].astype(jnp.float32), 1.0
+    )
+    return tree.node_value_sum[rb, state.root_node] / n[:, None]
 
 
 def select_move(
@@ -1052,9 +1064,10 @@ def select_move(
     sampling in GameGenerator.cpp:145-173).  Proven WIN edges dominate,
     proven LOSS edges are avoided (reference: BestEdgeSelector ordering)."""
     tree = state.tree
-    visits = tree.edge_visits[:, 0].astype(jnp.float32)
-    actions = tree.edge_action[:, 0]
-    escore = tree.edge_score[:, 0]
+    rb = jnp.arange(tree.batch)
+    visits = tree.edge_visits[rb, state.root_node].astype(jnp.float32)
+    actions = tree.edge_action[rb, state.root_node]
+    escore = tree.edge_score[rb, state.root_node]
     valid = actions != NULL
     h, w = state.root_board.shape[1], state.root_board.shape[2]
 
@@ -1065,7 +1078,7 @@ def select_move(
         slot = jax.random.categorical(key, logits, axis=-1)
     else:
         n = jnp.maximum(visits, 1.0)
-        ev = tree.edge_value_sum[:, 0]
+        ev = tree.edge_value_sum[rb, state.root_node]
         q = (ev[..., 0] + 0.5 * ev[..., 1]) / n
         util = visits + q
         dist = S.get_distance(escore).astype(jnp.float32)

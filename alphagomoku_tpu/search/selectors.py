@@ -20,11 +20,13 @@ from . import score as S
 
 def _root_edges(state: mcts.SearchState):
     tree = state.tree
-    actions = tree.edge_action[:, 0].astype(jnp.int32)
-    visits = tree.edge_visits[:, 0].astype(jnp.float32)
-    vsum = tree.edge_value_sum[:, 0]
-    escore = tree.edge_score[:, 0]
-    prior = tree.edge_prior[:, 0].astype(jnp.float32)
+    rb = jnp.arange(tree.batch)
+    root = state.root_node
+    actions = tree.edge_action[rb, root].astype(jnp.int32)
+    visits = tree.edge_visits[rb, root].astype(jnp.float32)
+    vsum = tree.edge_value_sum[rb, root]
+    escore = tree.edge_score[rb, root]
+    prior = tree.edge_prior[rb, root].astype(jnp.float32)
     valid = actions != mcts.NULL
     q = (vsum[..., 0] + 0.5 * vsum[..., 1]) / jnp.maximum(visits, 1.0)
     return actions, visits, q, escore, prior, valid
@@ -33,8 +35,8 @@ def _root_edges(state: mcts.SearchState):
 def _pick(state: mcts.SearchState, util: jax.Array, valid: jax.Array) -> jax.Array:
     h, w = state.root_board.shape[1], state.root_board.shape[2]
     slot = jnp.argmax(jnp.where(valid, util, -jnp.inf), -1)
-    actions = state.tree.edge_action[:, 0].astype(jnp.int32)
     b = jnp.arange(state.tree.batch)
+    actions = state.tree.edge_action[b, state.root_node].astype(jnp.int32)
     return jnp.clip(actions[b, slot], 0, h * w - 1)
 
 

@@ -61,9 +61,10 @@ def _root_q(state: mcts.SearchState):
     tree = state.tree
     bsz = tree.batch
     h, w = state.root_board.shape[1], state.root_board.shape[2]
-    actions = tree.edge_action[:, 0]
-    visits = tree.edge_visits[:, 0]
-    vsum = tree.edge_value_sum[:, 0]
+    rb = jnp.arange(bsz)
+    actions = tree.edge_action[rb, state.root_node].astype(jnp.int32)
+    visits = tree.edge_visits[rb, state.root_node]
+    vsum = tree.edge_value_sum[rb, state.root_node]
     valid = (actions != mcts.NULL) & (visits > 0)
     q = vsum / jnp.maximum(visits.astype(jnp.float32), 1.0)[..., None]
     b = jnp.arange(bsz)[:, None]

@@ -89,3 +89,23 @@ def test_ponder_and_stop(manager):
     out = drive(manager, "TURN 3,3")
     moves = [l for l in out if "," in l and not l.startswith(("MESSAGE", "ERROR"))]
     assert len(moves) == 1
+
+
+def test_tree_reuse_between_moves():
+    """Advancing the position along the searched best move reuses the
+    previous subtree (reference: NodeCache subtree carry-over)."""
+    from alphagomoku_tpu.engine.engine import Engine
+    from alphagomoku_tpu.game.types import GameRules
+
+    eng = Engine(
+        rules=GameRules.FREESTYLE, rows=9, cols=9,
+        architecture="FastPolicy", blocks=1, filters=8,
+        simulations=64, sim_chunk=64,
+    )
+    eng.set_position([])
+    s1 = eng.search()
+    assert eng.reuse_count == 0
+    eng.make_move(s1.best_move)  # the best edge has a well-visited child
+    s2 = eng.search()
+    assert eng.reuse_count == 1
+    assert s2.nodes > 64  # carried statistics, not a fresh tree
