@@ -1,0 +1,3 @@
+from . import board, game, rules, types, vectorized
+
+__all__ = ["board", "game", "rules", "types", "vectorized"]

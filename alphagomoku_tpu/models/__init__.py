@@ -1,3 +1,4 @@
+from . import nnue
 from .networks import (
     AGNetwork,
     ModelConfig,
@@ -10,6 +11,7 @@ from .networks import (
 )
 
 __all__ = [
+    "nnue",
     "AGNetwork",
     "ModelConfig",
     "NetOutput",

@@ -7,3 +7,6 @@ from .sharding import (
 )
 
 __all__ = ["make_mesh", "batch_sharding", "replicated", "param_shardings", "shard_batch"]
+
+from . import distributed
+__all__.append("distributed")

@@ -1,0 +1,3 @@
+from . import bitwise, features, tables
+
+__all__ = ["bitwise", "features", "tables"]

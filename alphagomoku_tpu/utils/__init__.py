@@ -1,0 +1,3 @@
+from . import augment, configs, logger, misc, selfcheck
+
+__all__ = ["augment", "configs", "logger", "misc", "selfcheck"]
