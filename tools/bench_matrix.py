@@ -56,12 +56,30 @@ def bench_config(rules: GameRules, size: int, batch: int = 1024, sims: int = 200
     )
 
 
-if __name__ == "__main__":
+def _main():
+    import os
+    import subprocess
+
+    # one subprocess per configuration: sequential big recompiles against
+    # the remote-compile service in one process can fault the device
     for rules, size in [
-        (GameRules.FREESTYLE, 15),
-        (GameRules.STANDARD, 15),
-        (GameRules.RENJU, 15),
-        (GameRules.CARO5, 15),
-        (GameRules.FREESTYLE, 20),
+        ("FREESTYLE", 15),
+        ("STANDARD", 15),
+        ("RENJU", 15),
+        ("CARO5", 15),
+        ("FREESTYLE", 20),
     ]:
-        bench_config(rules, size)
+        code = (
+            "from tools.bench_matrix import bench_config\n"
+            "from alphagomoku_tpu.game.types import GameRules\n"
+            f"bench_config(GameRules.{rules}, {size})\n"
+        )
+        subprocess.run(
+            ["python", "-c", code],
+            env={**os.environ, "PYTHONPATH": os.getcwd()},
+            timeout=1500,
+        )
+
+
+if __name__ == "__main__":
+    _main()
