@@ -74,11 +74,9 @@ def _main():
             "from alphagomoku_tpu.game.types import GameRules\n"
             f"bench_config(GameRules.{rules}, {size})\n"
         )
-        subprocess.run(
-            ["python", "-c", code],
-            env={**os.environ, "PYTHONPATH": os.getcwd()},
-            timeout=1500,
-        )
+        env = dict(os.environ)
+        env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
+        subprocess.run(["python", "-c", code], env=env, timeout=1500)
 
 
 if __name__ == "__main__":
