@@ -301,6 +301,7 @@ class ExtendedGomocupProtocol(GomocupProtocol):
 
     def __init__(self, input_queue: MessageQueue, output_queue: MessageQueue):
         super().__init__(input_queue, output_queue)
+        self.analysis_mode = False
         for name, opt in (
             ("info analysis_mode", "analysis_mode"),
             ("info max_depth", "max_depth"),
@@ -323,6 +324,25 @@ class ExtendedGomocupProtocol(GomocupProtocol):
         self.register_input("longproboard", self._in_proboard)
         self.register_input("swapboard", self._in_swapboard)
         self.register_input("swap2board", self._in_swap2board)
+        # overrides the generic option forwarding registered above
+        self.register_input("info analysis_mode", self._in_analysis_mode)
+
+    def _in_analysis_mode(self, listener: InputListener) -> None:
+        value = self._extract_data(listener, "info analysis_mode")
+        self.analysis_mode = value.strip() not in ("0", "false", "")
+        self.input_queue.push(
+            Message(MessageType.SET_OPTION, ("analysis_mode", value))
+        )
+
+    def _out_best_move(self, sender: OutputSender) -> None:
+        """Analysis mode answers SUGGEST without playing the move
+        (reference: ExtendedGomocupProtocol.cpp:74-87)."""
+        if not self.analysis_mode:
+            super()._out_best_move(sender)
+            return
+        msg = self.output_queue.pop()
+        if isinstance(msg.data, Move):
+            sender.send(f"SUGGEST {self.move_to_string(msg.data)}")
 
     def _in_play(self, listener: InputListener) -> None:
         """Forced move: play without searching."""

@@ -245,3 +245,16 @@ def test_extended_proboard_unknown():
     f.feed("PROBOARD")
     f.flush()
     assert any(s.startswith("UNKNOWN") for s in f.sent)
+
+
+def test_analysis_mode_suggests():
+    from alphagomoku_tpu.engine.protocol import Message
+
+    f = Fixture(ExtendedGomocupProtocol)
+    f.feed("START 15", "INFO analysis_mode 1")
+    f.flush()
+    f.output_queue.push(Message(MessageType.BEST_MOVE, Move(row=7, col=8, sign=CROSS)))
+    f.sent.clear()
+    f.flush()
+    assert f.sent == ["SUGGEST 7,8"]
+    assert f.protocol.list_of_moves == []  # the move was NOT played
