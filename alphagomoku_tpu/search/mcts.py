@@ -935,6 +935,7 @@ def init_root(
     stm: jax.Array,
     raw_input: bool = True,
     noise_key: jax.Array | None = None,
+    root_move_mask: jax.Array | None = None,
 ) -> SearchState:
     """Create fresh trees with the root (node 0) expanded, optionally with
     Dirichlet exploration noise on the root priors
@@ -945,8 +946,16 @@ def init_root(
         net_apply, variables, tables, board, stm, raw_input
     )
     analysis = static_solver.analyze(packed, legal)
+    restrict = analysis.restrict
+    if root_move_mask is not None:
+        # opening generators restrict the root move set (reference:
+        # Center/Symmetrical-excluding EdgeGenerators); never to empty
+        masked = restrict & root_move_mask
+        restrict = jnp.where(
+            jnp.any(masked, (1, 2), keepdims=True), masked, restrict
+        )
     actions, priors, complete = _topk_edges(
-        policy, analysis.restrict, cfg.max_edges, cfg.policy_expansion_temperature
+        policy, restrict, cfg.max_edges, cfg.policy_expansion_temperature
     )
     qv = q_expect.reshape(bsz, h * w)
     safe_act = jnp.clip(actions, 0, h * w - 1)
@@ -1004,11 +1013,13 @@ def run_search(
     num_simulations: int,
     raw_input: bool = True,
     noise_key: jax.Array | None = None,
+    root_move_mask: jax.Array | None = None,
 ) -> SearchState:
     """Full search: init root + `num_simulations` batched simulations under
     one lax.scan (jit the caller; everything stays on device)."""
     state = init_root(
-        net_apply, variables, tables, cfg, board, stm, raw_input, noise_key
+        net_apply, variables, tables, cfg, board, stm, raw_input, noise_key,
+        root_move_mask,
     )
     simulate = make_simulate_fn(net_apply, tables, cfg, raw_input)
 

@@ -103,3 +103,49 @@ def test_caro5_blocked_five_does_not_win():
     tables_f = V.device_tables(GameRules.FREESTYLE)
     env3 = V.env_step(tables_f, env, jnp.asarray([5]), jnp.asarray([7]))
     assert int(np.asarray(env3.outcome)[0]) == int(GameOutcome.CROSS_WIN)
+
+
+def test_opening_generator_masks():
+    """Center/symmetry opening restrictions (reference: the specialized
+    EdgeGenerators used by swap controllers)."""
+    import jax.numpy as jnp
+    from alphagomoku_tpu.search import generators as G
+
+    m = np.asarray(G.center_excluding_mask(1, 15, 15, 3))[0]
+    assert not m[7, 7] and not m[5, 9]  # inside the excluded square
+    assert m[3, 7] and m[0, 0]
+    mo = np.asarray(G.center_only_mask(1, 15, 15, 1))[0]
+    assert mo[7, 7] and mo[6, 8] and not mo[0, 0]
+
+    # empty board: full 8-way symmetry leaves ~1/8 of cells as orbit reps
+    empty = jnp.zeros((1, 9, 9), jnp.int8)
+    sm = np.asarray(G.symmetrical_excluding_mask(empty))[0]
+    assert sm.sum() < 81 / 4
+    assert sm[0, 0]  # the canonical corner survives
+    # asymmetric board: no invariant symmetry except identity -> all allowed
+    b = np.zeros((1, 9, 9), np.int8)
+    b[0, 2, 3] = CROSS
+    b[0, 5, 1] = CIRCLE
+    sm2 = np.asarray(G.symmetrical_excluding_mask(jnp.asarray(b)))[0]
+    assert sm2.all()
+
+
+def test_root_move_mask_restricts_search():
+    import jax.numpy as jnp
+    from alphagomoku_tpu.search import generators as G
+
+    h = w = 9
+    apply, variables = _net(h, w)
+    tables = V.device_tables(GameRules.FREESTYLE)
+    board = jnp.zeros((1, h, w), jnp.int8)
+    cfg = mcts.MCTSConfig(max_nodes=24, max_edges=16, max_depth=6)
+    mask = G.center_only_mask(1, h, w, 1)
+    state = jax.jit(
+        lambda v, b, s: mcts.run_search(
+            apply, v, tables, cfg, b, s, 16, root_move_mask=mask
+        )
+    )(variables, board, jnp.full((1,), CROSS, jnp.int8))
+    actions = np.asarray(state.tree.edge_action[0, 0])
+    for a in actions[actions >= 0]:
+        r, c = a // w, a % w
+        assert max(abs(r - 4), abs(c - 4)) <= 1, (r, c)
