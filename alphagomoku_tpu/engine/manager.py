@@ -133,8 +133,15 @@ class ProgramManager:
         if mode not in ("ponder", "analyze"):
             self._stop_background_search()
         if mode.startswith("bestmove"):
+            # protocol-adjustable node limit (reference: EngineSettings
+            # max_nodes via INFO max_node, EngineSettings.hpp:34-93)
+            max_sims = None
+            if self.options.get("max_nodes", "0") not in ("0", ""):
+                max_sims = max(
+                    engine.sim_chunk, int(self.options["max_nodes"])
+                )
             self.time_manager.start_timer()
-            summary = engine.search(self._time_budget_s())
+            summary = engine.search(self._time_budget_s(), max_simulations=max_sims)
             self.time_manager.stop_timer()
             from ..utils.logger import log
 
