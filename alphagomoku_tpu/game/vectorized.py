@@ -235,7 +235,12 @@ def is_forbidden(
     is_fork = threat == T.TT_FORK_3x3
 
     def resolve(_):
-        # widen the query axis x40: all (direction, offset) promotion spots
+        # enumerate the (direction, offset) promotion spots, then COMPACT to
+        # the at-most-16 live candidates before widening the query axis: an
+        # open three promotes on <= 3 spots per direction, so 16 covers every
+        # true candidate, and the compaction keeps the recursion's gather
+        # footprint ~6x smaller (the full 40-wide form built kernels large
+        # enough to fault the TPU at batch >= 1024)
         promo = promotion_masks(windows)  # [B,*S,4]
         cand_r, cand_c, cand_ok, cand_dir = [], [], [], []
         offsets = [i for i in range(-PAD, PAD + 1) if i != 0]
@@ -251,6 +256,14 @@ def is_forbidden(
         rr = jnp.stack(cand_r, axis=-1)  # [B,*S,40]
         cc = jnp.stack(cand_c, axis=-1)
         ok = jnp.stack(cand_ok, axis=-1)
+        dir_full = jnp.asarray(cand_dir, jnp.int32)
+
+        CAND = 16
+        _, top_idx = jax.lax.top_k(ok.astype(jnp.int32), CAND)  # true ones first
+        rr = jnp.take_along_axis(rr, top_idx, -1)  # [B,*S,16]
+        cc = jnp.take_along_axis(cc, top_idx, -1)
+        ok = jnp.take_along_axis(ok, top_idx, -1)
+        dirs = dir_full[top_idx]
 
         # hypothetical stone at the fork cell rides along as overlay
         if overlay_rows is None:
@@ -278,13 +291,15 @@ def is_forbidden(
         on_overlay = jnp.any((ov_r40 == rr[..., None]) & (ov_c40 == cc[..., None]), -1)
         empty = (base_cell == NONE) & ~on_overlay
 
-        cand_wins = windows_at(board, rr, cc, ov_r40, ov_c40)  # [B,*S,40,4]
-        sf_all = _straight_four(cand_wins)  # [B,*S,40,4]
-        sf = jnp.stack([sf_all[..., j, cand_dir[j]] for j in range(len(cand_dir))], -1)
+        cand_wins = windows_at(board, rr, cc, ov_r40, ov_c40)  # [B,*S,16,4]
+        sf_all = _straight_four(cand_wins)  # [B,*S,16,4]
+        sf = jnp.take_along_axis(sf_all, dirs[..., None], -1)[..., 0]
         nested = is_forbidden(tables, board, rr, cc, depth - 1, ov_r40, ov_c40)
-        good = ok & empty & sf & ~nested  # [B,*S,40]
+        good = ok & empty & sf & ~nested  # [B,*S,16]
 
-        per_dir = good.reshape(good.shape[:-1] + (4, len(offsets))).any(-1)  # [B,*S,4]
+        per_dir = jnp.stack(
+            [(good & (dirs == d)).any(-1) for d in range(4)], -1
+        )  # [B,*S,4]
         real = per_dir & (pts == T.PT_OPEN_3)
         pts2 = jnp.where((pts == T.PT_OPEN_3) & ~real, 0, pts)
         threat2 = threat_type(tables, pts2, not_circle)
