@@ -122,6 +122,39 @@ class ConvNextBlock(nn.Module):
         return SqueezeExcitation(self.filters, self.dtype)(x)
 
 
+class TransformerBlock(nn.Module):
+    """Pre-norm MHA + FFN over board cells as tokens
+    (reference: blocks.cpp:172-208 mha_pre_norm_block / ffn_pre_norm_block;
+    RMSNorm + learned positional bias + residuals)."""
+
+    embed: int
+    heads: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        b, h, w, c = x.shape
+        tokens = x.reshape(b, h * w, c)
+        pos = self.param(
+            "pos_embedding",
+            nn.initializers.normal(0.02),
+            (1, h * w, c),
+        )
+        y = nn.RMSNorm(dtype=self.dtype)(tokens) + pos.astype(self.dtype)
+        y = nn.SelfAttention(
+            num_heads=self.heads,
+            qkv_features=self.embed,
+            out_features=c,
+            dtype=self.dtype,
+        )(y)
+        tokens = tokens + y
+        z = nn.RMSNorm(dtype=self.dtype)(tokens)
+        z = nn.relu(nn.Dense(self.embed, dtype=self.dtype)(z))
+        z = nn.Dense(c, dtype=self.dtype)(z)
+        tokens = tokens + z
+        return tokens.reshape(b, h, w, c)
+
+
 class PolicyHead(nn.Module):
     """conv-BN-relu then 1x1 conv to one logit per cell
     (reference: blocks.cpp:99-107; ConvNext variant networks.cpp:1185-1189

@@ -78,6 +78,8 @@ class AGNetwork(nn.Module):
                 x = B.BottleneckBlock(cfg.filters, v, cfg.dtype)(x, train)
             elif cfg.trunk == "convnext":
                 x = B.ConvNextBlock(cfg.filters, cfg.dtype)(x, train)
+            elif cfg.trunk == "transformer":
+                x = B.TransformerBlock(cfg.filters, dtype=cfg.dtype)(x, train)
             else:
                 raise ValueError(f"unknown trunk {cfg.trunk}")
 
@@ -129,6 +131,12 @@ _REGISTRY: dict[str, dict] = {
     "ConvNextPVQraw": dict(trunk="convnext", heads="pvq", raw_input=True),
     "ConvNextPVQMraw": dict(trunk="convnext", heads="pvqm", raw_input=True),
     "ConvNextPVQMSraw": dict(trunk="convnext", heads="pvqms", raw_input=True),
+    # transformer family (reference: networks.cpp:571-920 Transformer_v2 /
+    # TransformerUnet; windowed attention approximated by full attention
+    # over the <=400 board tokens)
+    "Transformer_v2": dict(trunk="transformer", heads="pvqm", raw_input=False),
+    "TransformerUnet": dict(trunk="transformer", heads="pvqm", raw_input=False),
+    "ConvUnet": dict(trunk="convnext", heads="pvqm", raw_input=False),
     # small fast nets for openings/solver assistance
     "FastNetwork": dict(trunk="resnet", heads="pv", raw_input=True, blocks=2, filters=32),
     "FastPolicy": dict(trunk="resnet", heads="pv", raw_input=True, blocks=2, filters=32),

@@ -33,7 +33,11 @@ def test_flagship_shapes():
 
 
 @pytest.mark.parametrize(
-    "arch", ["ResnetPV", "ResnetPVQraw", "BottleneckPVQ", "ConvNextPVQMSraw", "FastPolicy"]
+    "arch",
+    [
+        "ResnetPV", "ResnetPVQraw", "BottleneckPVQ", "ConvNextPVQMSraw",
+        "FastPolicy", "Transformer_v2",
+    ],
 )
 def test_zoo_architectures(arch):
     net, variables, out = _init_and_run(arch, blocks=1, filters=32)
