@@ -140,6 +140,73 @@ def windows_at_many(board: jax.Array, rows: jax.Array, cols: jax.Array) -> jax.A
     return sel.sum(-1, dtype=jnp.uint32)  # [B, Q, 4]
 
 
+def windows_at_sel(
+    board: jax.Array,
+    rows: jax.Array,
+    cols: jax.Array,
+    overlay_rows: jax.Array | None = None,
+    overlay_cols: jax.Array | None = None,
+) -> jax.Array:
+    """Gather-free windows_at: packed windows for query cells [B, *S] ->
+    [B, *S, 4], with optional hypothetical CROSS overlays [B, *S, K].
+
+    Base windows come from windows_all via an exact one-hot einsum (u32
+    split into bf16-safe bytes); overlay stones are then patched in with
+    pure bit arithmetic — a stone at offset i along a window's direction
+    replaces that window's 2-bit cell.  Per-batch-row gathers serialize on
+    TPU; this path is all streaming + MXU work, equivalent to windows_at
+    for in-bounds queries."""
+    bsz, h, w = board.shape
+    qshape = rows.shape[1:]
+    q = int(np.prod(qshape)) if qshape else 1
+    rq = rows.reshape(bsz, q)
+    cq = cols.reshape(bsz, q)
+
+    wins_flat = windows_all(board).reshape(bsz, 4, h * w)  # [B, 4, HW]
+    onehot = (
+        (rq * w + cq)[:, :, None] == jnp.arange(h * w, dtype=jnp.int32)[None, None, :]
+    ).astype(jnp.bfloat16)  # [B, Q, HW]
+    acc = jnp.zeros((bsz, q, 4), jnp.uint32)
+    for shift in (0, 8, 16):  # 22-bit windows: three bytes
+        byte = ((wins_flat >> np.uint32(shift)) & U32_FF).astype(jnp.float32)
+        sel = jnp.einsum("bqm,bcm->bqc", onehot, byte)
+        acc = acc | (jnp.round(sel).astype(jnp.uint32) << np.uint32(shift))
+
+    if overlay_rows is not None:
+        ovr = overlay_rows.reshape(bsz, q, -1)
+        ovc = overlay_cols.reshape(bsz, q, -1)
+        dr_all = ovr - rq[:, :, None]  # [B, Q, K]
+        dc_all = ovc - cq[:, :, None]
+        for d, (dr, dc) in enumerate(DIRECTION_STEPS):
+            # offset of the overlay stone along this direction, if aligned
+            if dr == 0:  # horizontal
+                i = dc_all
+                aligned = dr_all == 0
+            elif dc == 0:  # vertical
+                i = dr_all
+                aligned = dc_all == 0
+            else:  # diagonals: cell = (r + i*dr, c + i*dc)
+                i = dr_all
+                aligned = dc_all == dr_all * dc
+            ok = aligned & (i >= -PAD) & (i <= PAD) & (i != 0)
+            pos = jnp.clip(i + PAD, 0, 2 * PAD).astype(jnp.uint32)
+            clear = jnp.where(ok, U32_3 << (2 * pos), np.uint32(0))
+            setc = jnp.where(ok, np.uint32(CROSS) << (2 * pos), np.uint32(0))
+            # fold all K overlays into one clear/set mask
+            clear = jax.lax.reduce(
+                clear, np.uint32(0), jax.lax.bitwise_or, dimensions=(2,)
+            )
+            setc = jax.lax.reduce(
+                setc, np.uint32(0), jax.lax.bitwise_or, dimensions=(2,)
+            )
+            acc = acc.at[:, :, d].set((acc[:, :, d] & ~clear) | setc)
+    return acc.reshape((bsz,) + qshape + (4,))
+
+
+U32_FF = np.uint32(0xFF)
+U32_3 = np.uint32(3)
+
+
 def windows_all(board: jax.Array) -> jax.Array:
     """Packed 22-bit windows for EVERY cell: [B, H, W] -> [B, 4, H, W] uint32.
 
@@ -223,7 +290,7 @@ def is_forbidden(
     qshape = rows.shape
     not_circle = jnp.zeros(qshape, bool)
 
-    windows = windows_at(board, rows, cols, overlay_rows, overlay_cols)  # [B,*S,4]
+    windows = windows_at_sel(board, rows, cols, overlay_rows, overlay_cols)
     pts = pattern_types(tables, windows, not_circle)
     threat = threat_type(tables, pts, not_circle)
     naive = (
@@ -291,7 +358,7 @@ def is_forbidden(
         on_overlay = jnp.any((ov_r40 == rr[..., None]) & (ov_c40 == cc[..., None]), -1)
         empty = (base_cell == NONE) & ~on_overlay
 
-        cand_wins = windows_at(board, rr, cc, ov_r40, ov_c40)  # [B,*S,16,4]
+        cand_wins = windows_at_sel(board, rr, cc, ov_r40, ov_c40)  # [B,*S,16,4]
         sf_all = _straight_four(cand_wins)  # [B,*S,16,4]
         sf = jnp.take_along_axis(sf_all, dirs[..., None], -1)[..., 0]
         nested = is_forbidden(tables, board, rr, cc, depth - 1, ov_r40, ov_c40)
