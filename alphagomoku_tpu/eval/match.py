@@ -68,8 +68,14 @@ def play_match(
     max_moves: int = 160,
     raw_input_a: bool = True,
     raw_input_b: bool = True,
+    mcfg_b: mcts.MCTSConfig | None = None,
 ) -> MatchResult:
-    """Run the paired match; returns pentanomial scores and Elo for A."""
+    """Run the paired match; returns pentanomial scores and Elo for A.
+
+    `mcfg_b` lets the two engines differ by search configuration alone
+    (parameter tuning matches, reference: tuning_launcher)."""
+    if mcfg_b is None:
+        mcfg_b = mcfg
     g, h, w = openings.shape
     n_stones = int((openings[0] != 0).sum())
     assert n_stones % 2 == 0, "openings must leave cross to move"
@@ -94,7 +100,7 @@ def play_match(
                 raw_input=raw_input_a,
             )
             st_b = mcts.run_search(
-                net_apply_b, vb, tables, mcfg, bb_, sb, num_simulations,
+                net_apply_b, vb, tables, mcfg_b, bb_, sb, num_simulations,
                 raw_input=raw_input_b,
             )
             mv_a = mcts.select_move(st_a)
