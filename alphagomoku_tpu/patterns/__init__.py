@@ -1,3 +1,3 @@
-from . import bitwise, features, tables
+from . import bitwise, defensive, features, tables
 
-__all__ = ["bitwise", "features", "tables"]
+__all__ = ["bitwise", "defensive", "features", "tables"]
