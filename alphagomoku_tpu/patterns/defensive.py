@@ -244,3 +244,54 @@ class DefensiveTables:
 @functools.lru_cache(maxsize=None)
 def get_tables(rules: GameRules) -> DefensiveTables:
     return DefensiveTables(GameRules(rules))
+
+
+# ---------------------------------------------------------------------------
+# Board-level lookup (the interface a VCT defender-branching search consumes)
+# ---------------------------------------------------------------------------
+
+from ..game.types import DIRECTION_STEPS  # noqa: E402
+
+
+def _extended_window(board: np.ndarray, row: int, col: int, d: int) -> int:
+    """13-cell extended pattern along direction `d` centered on (row, col),
+    encoded 2 bits/cell with off-board cells ILLEGAL (3)
+    (reference: RawPatternCalculator extended window extraction)."""
+    h, w = board.shape
+    dr, dc = DIRECTION_STEPS[d]
+    out = 0
+    for i in range(-CENTER, EXT_LENGTH - CENTER):
+        r, c = row + i * dr, col + i * dc
+        cell = 3 if not (0 <= r < h and 0 <= c < w) else int(board[r, c])
+        out |= cell << (2 * (i + CENTER))
+    return out
+
+
+def defensive_cells_for_threat(
+    board: np.ndarray,
+    row: int,
+    col: int,
+    defender: int,
+    threat: int,
+    rules: GameRules,
+) -> list[tuple[int, int]]:
+    """Board cells that defend against the attacker threat the cell
+    (row, col) represents (the attacker's potential move there), unioned
+    over the directions in which the threat exists.
+
+    This is the complete defender option set for VCT AND-nodes
+    (reference: MoveGenerator querying DefensiveMoveTable per opponent
+    threat cell)."""
+    tabs = get_tables(rules)
+    h, w = board.shape
+    out: set[tuple[int, int]] = set()
+    for d, (dr, dc) in enumerate(DIRECTION_STEPS):
+        pattern = _extended_window(board, row, col, d)
+        mask = tabs.get_moves(pattern, defender, threat)
+        for i in range(EXT_LENGTH):
+            if (mask >> i) & 1:
+                r = row + (i - CENTER) * dr
+                c = col + (i - CENTER) * dc
+                if 0 <= r < h and 0 <= c < w and board[r, c] == NONE:
+                    out.add((r, c))
+    return sorted(out)

@@ -92,3 +92,29 @@ def test_rules_variants_build():
         )
         mask = tabs.get_moves(pattern, CIRCLE, T.PT_FIVE)
         assert mask & (1 << D.CENTER), (rules, bin(mask))
+
+
+def test_board_level_defensive_cells():
+    """Board-level union over directions: the defender options against a
+    half-open four's completion cell are exactly that cell."""
+    board = np.zeros((15, 15), np.int8)
+    board[7, 2] = CIRCLE
+    board[7, 3:7] = CROSS  # O X X X X ! at (7,7)
+    cells = D.defensive_cells_for_threat(
+        board, 7, 7, CIRCLE, T.PT_FIVE, GameRules.FREESTYLE
+    )
+    assert cells == [(7, 7)], cells
+
+
+def test_board_level_open_three_defenses():
+    """Defending the cell where the attacker would make a straight open
+    three: taking the cell itself is always an option; all options are empty
+    board cells on the threat line."""
+    board = np.zeros((15, 15), np.int8)
+    board[7, 8] = CROSS
+    board[7, 9] = CROSS  # attacker playing (7,7) would make _XXX_
+    cells = D.defensive_cells_for_threat(
+        board, 7, 7, CIRCLE, T.PT_OPEN_3, GameRules.FREESTYLE
+    )
+    assert (7, 7) in cells
+    assert all(r == 7 for r, c in cells)
