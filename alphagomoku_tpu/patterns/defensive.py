@@ -267,6 +267,129 @@ def _extended_window(board: np.ndarray, row: int, col: int, d: int) -> int:
     return out
 
 
+def get_moves_batched(
+    rules: GameRules, patterns, defender_is_circle, threat: int
+):
+    """Batched, jit-compatible defensive lookup: uint32 extended patterns
+    [...] + defender sign mask -> uint16 defense masks [...].
+
+    Same dispatch as DefensiveTables.get_moves, expressed as masked compares
+    (one per threat variant) and exact one-hot einsum reads of the tiny
+    [variants, 256, 2] tables (byte-split; gathers at per-element indices
+    serialize on TPU).  `threat` is static (a PatternType code)."""
+    import jax
+    import jax.numpy as jnp
+
+    tabs = get_tables(rules)
+    patterns = jnp.asarray(patterns, jnp.uint32)
+    is_circle = jnp.asarray(defender_is_circle, bool)
+
+    def table_read(table_np, variant: int, ctx, col_is_circle):
+        """table[variant, ctx, col] via one-hot einsum, exact."""
+        tbl = np.asarray(table_np[variant], np.uint32)  # [256, 2]
+        onehot = (
+            ctx[..., None] == jnp.arange(256, dtype=jnp.uint32)
+        ).astype(jnp.bfloat16)
+        flat_on = onehot.reshape(-1, 256)
+        out = jnp.zeros(flat_on.shape[0], jnp.uint32)
+        for col in (0, 1):
+            acc = jnp.zeros(flat_on.shape[0], jnp.uint32)
+            for shift in (0, 8):
+                byte = jnp.asarray(
+                    ((tbl[:, col] >> shift) & 0xFF).astype(np.float32)
+                )
+                sel = flat_on @ byte
+                acc = acc | (
+                    jnp.round(sel).astype(jnp.uint32) << np.uint32(shift)
+                )
+            pick = (col_is_circle.reshape(-1) if col == 1
+                    else ~col_is_circle.reshape(-1))
+            out = jnp.where(pick, acc, out) if col == 1 else acc
+        return out.reshape(ctx.shape)
+
+    def sub(begin, length):
+        return (patterns >> np.uint32(2 * begin)) & np.uint32(
+            (1 << (2 * length)) - 1
+        )
+
+    def ctx_of(begin, end):
+        left = (patterns >> np.uint32(2 * (begin - 2))) & np.uint32(15)
+        right = (patterns >> np.uint32(2 * end)) & np.uint32(15)
+        return left | (right << np.uint32(4))
+
+    def masks_for(mask_dict):
+        """Per-element attacker masks: defender circle -> attacker cross."""
+        return [
+            jnp.where(
+                is_circle, np.uint32(mask_dict[CROSS][i]),
+                np.uint32(mask_dict[CIRCLE][i]),
+            )
+            for i in range(len(mask_dict[CROSS]))
+        ]
+
+    result = jnp.zeros(patterns.shape, jnp.uint32)
+    decided = jnp.zeros(patterns.shape, bool)
+
+    def dispatch(mask_dict, offsets, lengths, table, var_of=lambda i: i,
+                 shift_base=None):
+        nonlocal result, decided
+        am = masks_for(mask_dict)
+        for i, begin in enumerate(offsets):
+            length = lengths[i] if isinstance(lengths, list) else lengths
+            hit = (sub(begin, length) == am[i]) & ~decided
+            val = table_read(table, var_of(i), ctx_of(begin, begin + length), is_circle)
+            if shift_base is not None:
+                shift = begin - shift_base[var_of(i)]
+                val = (val << np.uint32(shift)) if shift >= 0 else (
+                    val >> np.uint32(-shift)
+                )
+            result = jnp.where(hit, val & np.uint32(0xFFFF), result)
+            decided = decided | hit
+
+    if threat == T.PT_FIVE:
+        dispatch(_FIVE_MASKS, _FIVE_OFFSETS, 5, tabs.five)
+    elif threat == T.PT_OPEN_4:
+        dispatch(_OPEN4_MASKS, _OPEN4_OFFSETS, 6, tabs.open_four)
+    elif threat == T.PT_DOUBLE_4:
+        dispatch(_D4_MASKS, _D4_OFFSETS, _D4_LENGTHS, tabs.double_four)
+    elif threat == T.PT_OPEN_3:
+        dispatch(
+            _OPEN3_MASKS, _OPEN3_OFFSETS, 6, tabs.open_four,
+            var_of=lambda i: i // 3, shift_base=_OPEN4_OFFSETS,
+        )
+        result = jnp.where(decided, result | np.uint32(1 << CENTER), result)
+    elif threat == T.PT_HALF_OPEN_4:
+        attacker = jnp.where(is_circle, np.uint32(CROSS), np.uint32(CIRCLE))
+        defender = jnp.where(is_circle, np.uint32(CIRCLE), np.uint32(CROSS))
+        allow_ol_cross = _overline_allowed(rules, CROSS)
+        allow_ol_circle = _overline_allowed(rules, CIRCLE)
+        allow_ol = jnp.where(is_circle, allow_ol_cross, allow_ol_circle)
+        allow_bl = _blocked_allowed(rules, CROSS)  # sign-independent
+        am = masks_for(_HO4_MASKS)
+        acc = jnp.full(patterns.shape, np.uint32(1 << CENTER))
+        open_rules = rules in (GameRules.CARO5, GameRules.CARO6)
+        for i, begin in enumerate(_HO4_OFFSETS):
+            first = (patterns >> np.uint32(2 * (begin - 1))) & np.uint32(3)
+            last = (patterns >> np.uint32(2 * (begin + 5))) & np.uint32(3)
+            side_ok = jnp.where(
+                allow_ol, True, (first != attacker) & (last != attacker)
+            )
+            if not allow_bl:
+                side_ok = side_ok & ~((first == defender) & (last == defender))
+            hit = (sub(begin, 5) == am[i]) & side_ok & ~decided
+            val = table_read(tabs.five, i // 4, ctx_of(begin, begin + 5), is_circle)
+            shift = begin - _FIVE_OFFSETS[i // 4]
+            val = (val << np.uint32(shift)) if shift >= 0 else (
+                val >> np.uint32(-shift)
+            )
+            acc = jnp.where(hit, acc | (val & np.uint32(0xFFFF)), acc)
+            if not open_rules:
+                decided = decided | hit
+        result = acc
+        return result.astype(jnp.uint16)
+    return result.astype(jnp.uint16)
+
+
 def defensive_cells_for_threat(
     board: np.ndarray,
     row: int,

@@ -118,3 +118,34 @@ def test_board_level_open_three_defenses():
     )
     assert (7, 7) in cells
     assert all(r == 7 for r, c in cells)
+
+
+@pytest.mark.parametrize("rules", [GameRules.FREESTYLE, GameRules.CARO5])
+@pytest.mark.parametrize(
+    "threat",
+    [T.PT_FIVE, T.PT_OPEN_4, T.PT_DOUBLE_4, T.PT_HALF_OPEN_4, T.PT_OPEN_3],
+)
+def test_batched_lookup_parity(rules, threat):
+    """get_moves_batched must agree with the scalar dispatch on random
+    extended patterns for both defender signs."""
+    import jax
+    import jax.numpy as jnp
+
+    tabs = D.get_tables(rules)
+    rng = np.random.default_rng(int(threat) * 10 + int(rules))
+    pats, signs, expect = [], [], []
+    for _ in range(400):
+        cells = [int(x) for x in rng.choice([0, 0, 0, 1, 2], size=13)]
+        cells[D.CENTER] = 0  # queried cell is empty
+        pattern = D._encode(cells)
+        defender = CROSS if rng.random() < 0.5 else CIRCLE
+        pats.append(pattern)
+        signs.append(defender == CIRCLE)
+        expect.append(tabs.get_moves(pattern, defender, threat))
+    got = np.asarray(
+        D.get_moves_batched(
+            rules, jnp.asarray(np.asarray(pats, np.uint32)),
+            jnp.asarray(signs), threat,
+        )
+    )
+    np.testing.assert_array_equal(got, np.asarray(expect, np.uint16))
