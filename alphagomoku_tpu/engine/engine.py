@@ -162,6 +162,27 @@ class Engine:
                 principal_variation=[],
                 proven=f"WIN in {dist}",
             )
+        # deeper host VCT (open-three forcing lines with complete defender
+        # sets; reference: ThreatSpaceSearch), bounded by a node budget
+        from ..search import vct as VCT
+
+        vres = VCT.solve(
+            self.board_array(), stm_val, self.rules, max_depth=8,
+            node_budget=8000,
+        )
+        if vres.win and vres.best_move is not None:
+            r, c = vres.best_move
+            return SearchSummary(
+                best_move=Move(row=r, col=c, sign=stm_val),
+                expectation=1.0,
+                win_rate=1.0,
+                draw_rate=0.0,
+                simulations=0,
+                nodes=vres.nodes,
+                time_used=time.monotonic() - t0,
+                principal_variation=[],
+                proven="WIN (VCT)",
+            )
 
         state = self._warm_start(board, stm)
         if state is None:

@@ -1,3 +1,3 @@
-from . import mcts, score, selectors, static_solver, vcf, zobrist
+from . import mcts, score, selectors, static_solver, vcf, vct, zobrist
 
-__all__ = ["mcts", "score", "selectors", "static_solver", "vcf", "zobrist"]
+__all__ = ["mcts", "score", "selectors", "static_solver", "vcf", "vct", "zobrist"]
