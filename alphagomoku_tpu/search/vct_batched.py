@@ -1,0 +1,522 @@
+"""Batched VCT solver: victory-by-continuous-threats (fours AND open
+threes) AND-OR proof search, lockstep over a batch of boards.
+
+TPU-native re-expression of the reference's threat-space search
+(reference: src/search/alpha_beta/{ThreatSpaceSearch,ThreatGenerator}.cpp
+and AlphaBetaSearch.cpp:76-135): the recursive AND-OR DFS becomes an
+iterative fixed-stack machine advanced one transition per
+`lax.while_loop` step, all boards in lockstep.  It extends the VCF
+machine (search/vcf.py) with a defender-alternative axis: when the
+attacker plays an open-three move the defender is NOT forced — the
+complete defender option set (defensive-move tables + counter-fours)
+forms an AND node whose options must ALL be refuted.
+
+A per-board transposition table plays the role of the reference's
+SharedHashTable (reference: include/.../SharedHashTable.hpp:27-88): failed
+positions are stored with their remaining (depth, three-budget) so
+re-reached positions fail immediately.  Entries are read/written with
+one-hot masked selects (per-batch-row gathers/scatters serialize on TPU).
+
+Soundness model (every claimed WIN is a true forced win):
+- OR nodes: attacker candidates are five/four/open-four makers, plus
+  open-three makers while the three-budget lasts; when the defender
+  threatens a five, candidates shrink to four-makers that also block.
+- AND nodes: after an open-three move the defender options are the
+  defensive-table cells of the threat (complete by table construction,
+  patterns/defensive.py) unioned with the defender's PRE-move four/five
+  makers (a superset of the post-move set: the attacker's stone can only
+  remove defender fours).  Every option must be refuted; option sets
+  exceeding `max_defenses` abandon the line (never unsound).
+- Renju: black-attacker candidates exclude every possibly-forbidden cell
+  (overline / double-four / 4x4 fork / naive 3x3 fork — a superset of the
+  truly forbidden set, so sound); a forced defender block that is
+  CERTAINLY forbidden for black (overline / 4x4, no recursion involved)
+  counts as a win; forbidden defender options are conservatively kept
+  (the attacker must refute them too — incomplete, sound).
+
+The search never claims LOSS/DRAW — failure means "no VCT within the
+budgets" (reference semantics: the solver returns UNKNOWN).
+"""
+
+from __future__ import annotations
+
+from functools import lru_cache
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from ..game.types import CROSS, CIRCLE, GameRules
+from ..game import vectorized as V
+from ..patterns import bitwise
+from ..patterns import defensive as DEF
+from ..patterns import tables as T
+from .vcf import _five_completions
+
+U = np.uint32
+
+
+class VCTBatchedResult(NamedTuple):
+    win: jax.Array  # [B] bool: forced win proven for the side to move
+    best_move: jax.Array  # [B] int32 flat first move of the proof (-1)
+    distance: jax.Array  # [B] int32 plies to mate (0 when unproven)
+
+
+_SEARCHING, _WIN, _FAIL = 0, 1, 2
+_ADV, _RETW, _RETF = 0, 1, 2
+_TT_BIG_DEPTH = 127  # depth-independent fail entries (static refutations)
+
+
+@lru_cache(maxsize=None)
+def _zobrist_keys(hw: int) -> tuple[np.ndarray, np.ndarray]:
+    """Two independent uint32 key tables [HW, 3] (NONE/CROSS/CIRCLE);
+    cached as NUMPY (jnp in lru_cache leaks tracers; see NEXT.md lore)."""
+    rng = np.random.RandomState(0xC0FFEE)
+    k1 = rng.randint(0, 1 << 32, size=(hw, 3), dtype=np.uint64).astype(np.uint32)
+    k2 = rng.randint(0, 1 << 32, size=(hw, 3), dtype=np.uint64).astype(np.uint32)
+    k1[:, 0] = 0
+    k2[:, 0] = 0
+    return k1, k2
+
+
+def _hash_boards(board: jax.Array) -> tuple[jax.Array, jax.Array]:
+    """Position hashes [B] (uint32 x2) via XOR-reduce of per-cell keys."""
+    bsz, h, w = board.shape
+    k1, k2 = _zobrist_keys(h * w)
+    flat = board.reshape(bsz, h * w).astype(jnp.int32)
+    cell = jnp.arange(h * w)
+    h1 = jax.lax.reduce(
+        jnp.take(jnp.asarray(k1), cell * 3 + flat),
+        U(0), jax.lax.bitwise_xor, dimensions=(1,))
+    h2 = jax.lax.reduce(
+        jnp.take(jnp.asarray(k2), cell * 3 + flat),
+        U(0), jax.lax.bitwise_xor, dimensions=(1,))
+    return h1, h2
+
+
+def _ext_windows_at_one(board: jax.Array, rows: jax.Array, cols: jax.Array) -> jax.Array:
+    """26-bit 13-cell extended windows at ONE empty cell per board:
+    [B, H, W] + [B] -> [B, 4] (reference: RawPatternCalculator extended
+    window extraction).  Gather-free: the inner 11 cells come from
+    windows_at_one, the two edge cells (offsets +-6) from one-hot masked
+    reduces of an ILLEGAL-padded board."""
+    bsz, h, w = board.shape
+    inner = V.windows_at_one(board, rows, cols)  # [B, 4], center empty
+    ext = inner << U(2)  # offsets -5..5 move to positions 1..11; center = NONE
+    p6 = jnp.pad(
+        board, ((0, 0), (6, 6), (6, 6)), constant_values=V.ILLEGAL
+    ).astype(jnp.uint32)
+    onehot = (
+        (jnp.arange(h, dtype=jnp.int32)[None, :, None] == rows[:, None, None])
+        & (jnp.arange(w, dtype=jnp.int32)[None, None, :] == cols[:, None, None])
+    )
+    cols_out = []
+    for d, (dr, dc) in enumerate(V.DIRECTION_STEPS):
+        acc = ext[:, d]
+        for off, pos in ((-6, 0), (6, 12)):
+            sl = p6[:, 6 + off * dr : 6 + off * dr + h, 6 + off * dc : 6 + off * dc + w]
+            cell = jnp.where(onehot, sl, U(0)).sum((1, 2), dtype=jnp.uint32)
+            acc = acc | (cell << U(2 * pos))
+        cols_out.append(acc)
+    return jnp.stack(cols_out, axis=-1)
+
+
+class _State(NamedTuple):
+    board: jax.Array  # [B, H, W] int8 (mutated along the line)
+    ply: jax.Array  # [B] int32 current frame depth (0-based)
+    phase: jax.Array  # [B] int8: ADV / RET_WIN / RET_FAIL
+    att_move: jax.Array  # [B, D] int32 current attacker candidate per ply
+    def_move: jax.Array  # [B, D] int32 current defender option per ply
+    att_tried: jax.Array  # [B, D, HW] bool
+    def_opts: jax.Array  # [B, D, HW] bool: defender AND-set per ply
+    def_tried: jax.Array  # [B, D, HW] bool: refuted defender options
+    threes_left: jax.Array  # [B, D+1] int32 three-budget at frame entry
+    tt_hash: jax.Array  # [B, S] uint32 verification hashes
+    tt_depth: jax.Array  # [B, S] int32 remaining depth proven failed
+    tt_threes: jax.Array  # [B, S] int32 three-budget proven failed
+    status: jax.Array  # [B] int8
+    win_extra: jax.Array  # [B] int32 plies beyond 2*win_ply at the win
+    win_ply: jax.Array  # [B] int32 frame depth where the win closed
+    steps: jax.Array  # [] int32
+
+
+def solve(
+    tables: V.RuleTables,
+    board: jax.Array,
+    stm: jax.Array,
+    max_depth: int = 8,
+    max_steps: int = 384,
+    max_defenses: int = 12,
+    max_threes: int = 3,
+    tt_slots: int = 128,
+) -> VCTBatchedResult:
+    """Run the batched VCT for the side to move (jit the caller).
+
+    max_depth: attacker plies; max_steps: lockstep transition budget shared
+    by descends and backtracks; max_defenses: AND-node width cap (wider
+    nodes abandon the line); max_threes: open-three moves per line
+    (reference: TSS positional budgets, ThreatSpaceSearch.hpp:61-66)."""
+    board = jnp.asarray(board)
+    stm = jnp.asarray(stm)
+    bsz, h, w = board.shape
+    hw = h * w
+    D = max_depth
+    S = tt_slots
+    rules = GameRules(tables.rules)
+    renju = rules == GameRules.RENJU
+    b = jnp.arange(bsz)
+    stm_is_circle = stm == CIRCLE
+    def_sign = jnp.where(stm == CROSS, CIRCLE, CROSS).astype(jnp.int8)
+    def_is_circle = ~stm_is_circle
+
+    state = _State(
+        board=board,
+        ply=jnp.zeros(bsz, jnp.int32),
+        phase=jnp.zeros(bsz, jnp.int8),
+        att_move=jnp.full((bsz, D), -1, jnp.int32),
+        def_move=jnp.full((bsz, D), -1, jnp.int32),
+        att_tried=jnp.zeros((bsz, D, hw), bool),
+        def_opts=jnp.zeros((bsz, D, hw), bool),
+        def_tried=jnp.zeros((bsz, D, hw), bool),
+        threes_left=jnp.concatenate(
+            [jnp.full((bsz, 1), max_threes, jnp.int32),
+             jnp.zeros((bsz, D), jnp.int32)], axis=1),
+        tt_hash=jnp.zeros((bsz, S), jnp.uint32),
+        tt_depth=jnp.full((bsz, S), -1, jnp.int32),
+        tt_threes=jnp.full((bsz, S), -1, jnp.int32),
+        status=jnp.full(bsz, _SEARCHING, jnp.int8),
+        win_extra=jnp.zeros(bsz, jnp.int32),
+        win_ply=jnp.zeros(bsz, jnp.int32),
+        steps=jnp.zeros((), jnp.int32),
+    )
+
+    def plane_at(arr_bdx: jax.Array, ply: jax.Array) -> jax.Array:
+        """Read the [B, HW] row of a [B, D, HW] array at per-board ply."""
+        sel = (jnp.arange(D)[None, :] == ply[:, None])[:, :, None]
+        return jnp.where(sel, arr_bdx, False).sum(1, dtype=bool)
+
+    def set_plane(arr_bdx, ply, mask_b, new_bx):
+        sel = (jnp.arange(D)[None, :] == ply[:, None])[:, :, None] & mask_b[:, None, None]
+        return jnp.where(sel, new_bx[:, None, :], arr_bdx)
+
+    def col_at(arr_bd: jax.Array, ply: jax.Array) -> jax.Array:
+        sel = jnp.arange(arr_bd.shape[1])[None, :] == ply[:, None]
+        return jnp.where(sel, arr_bd, 0).sum(1).astype(arr_bd.dtype)
+
+    def set_col(arr_bd, ply, mask_b, val_b):
+        sel = (jnp.arange(arr_bd.shape[1])[None, :] == ply[:, None]) & mask_b[:, None]
+        return jnp.where(sel, val_b[:, None], arr_bd)
+
+    def place(board_, mask_b, move_b, sign_b):
+        """Place sign at flat move for masked boards (one-hot update)."""
+        onehot = (
+            move_b[:, None] == jnp.arange(hw, dtype=jnp.int32)[None, :]
+        ).reshape(bsz, h, w) & mask_b[:, None, None]
+        return jnp.where(onehot, jnp.broadcast_to(sign_b[:, None, None], board_.shape), board_)
+
+    def unplace(board_, mask_b, move_b):
+        onehot = (
+            move_b[:, None] == jnp.arange(hw, dtype=jnp.int32)[None, :]
+        ).reshape(bsz, h, w) & mask_b[:, None, None]
+        return jnp.where(onehot, jnp.int8(V.NONE), board_)
+
+    def cond(st: _State):
+        return (st.steps < max_steps) & jnp.any(st.status == _SEARCHING)
+
+    def body(st: _State) -> _State:
+        searching = st.status == _SEARCHING
+        adv = searching & (st.phase == _ADV)
+        retw = searching & (st.phase == _RETW)
+        retf = searching & (st.phase == _RETF)
+        ply_idx = jnp.clip(st.ply, 0, D - 1)
+
+        # ================= ADVANCE =================
+        wins4 = jnp.moveaxis(V.windows_all(st.board), 1, -1)  # [B,H,W,4]
+        pt_cross, pt_circle = bitwise.classify(wins4, rules)
+        own_pts = jnp.where(stm_is_circle[:, None, None, None], pt_circle, pt_cross)
+        opp_pts = jnp.where(stm_is_circle[:, None, None, None], pt_cross, pt_circle)
+        empty = st.board == V.NONE
+
+        def planes_of(pts, is_cross_actor):
+            """Threat planes for one actor; renju restricts black."""
+            five = jnp.any(pts == T.PT_FIVE, -1) & empty
+            n4 = (
+                (pts == T.PT_HALF_OPEN_4)
+                | (pts == T.PT_OPEN_4)
+                | (pts == T.PT_DOUBLE_4)
+            ).sum(-1)
+            any_d4 = jnp.any(pts == T.PT_DOUBLE_4, -1)
+            any_o4 = jnp.any(pts == T.PT_OPEN_4, -1)
+            n3 = (pts == T.PT_OPEN_3).sum(-1)
+            overline = jnp.any(pts == T.PT_OVERLINE, -1)
+            # certain forbidden needs no 3x3 recursion: overline, a
+            # double-four line, or fours in two directions
+            certain_forb = (overline | any_d4 | (n4 >= 2)) & is_cross_actor
+            maybe_forb = (certain_forb | ((n3 >= 2) & is_cross_actor))
+            if not renju:
+                certain_forb = jnp.zeros_like(five)
+                maybe_forb = jnp.zeros_like(five)
+            four = (n4 >= 1) & empty & ~certain_forb
+            win3 = (any_o4 | any_d4 | (n4 + any_o4.astype(n4.dtype) >= 2)) & empty
+            if renju:
+                # black's double-4 / 4x4 forks are forbidden, not wins
+                win3 = jnp.where(
+                    jnp.broadcast_to(is_cross_actor, win3.shape),
+                    any_o4 & empty, win3)
+            three = (n3 >= 1) & empty & ~maybe_forb
+            return dict(five=five, four=four, win3=win3, three=three,
+                        n3=n3, certain_forb=certain_forb,
+                        maybe_forb=maybe_forb)
+
+        own_cross = (~stm_is_circle)[:, None, None]
+        mine = planes_of(own_pts, own_cross)
+        theirs = planes_of(opp_pts, ~own_cross)
+
+        own5 = mine["five"]
+        opp5 = theirs["five"]
+        win_now = jnp.any(own5, (1, 2)) & adv
+        n_opp5 = opp5.sum((1, 2))
+        static_fail = (n_opp5 >= 2) & adv & ~win_now
+
+        # --- transposition probe (one-hot slot read) ---
+        h1, h2 = _hash_boards(st.board)
+        slot = (h1 & U(S - 1)).astype(jnp.int32)
+        slot_sel = slot[:, None] == jnp.arange(S, dtype=jnp.int32)[None, :]
+        e_hash = jnp.where(slot_sel, st.tt_hash, U(0)).sum(1, dtype=jnp.uint32)
+        e_depth = jnp.where(slot_sel, st.tt_depth, 0).sum(1).astype(jnp.int32)
+        e_threes = jnp.where(slot_sel, st.tt_threes, 0).sum(1).astype(jnp.int32)
+        rem = D - st.ply
+        tl = col_at(st.threes_left, st.ply)
+        tt_fail = (
+            adv & ~win_now & ~static_fail
+            & (e_depth >= rem) & (e_threes >= tl) & (e_hash == h2)
+            & (e_depth >= 0)
+        )
+        depth_fail = adv & ~win_now & ~static_fail & ~tt_fail & (st.ply >= D)
+
+        # --- candidate selection (OR node) ---
+        maybe_forb_own = mine["maybe_forb"] if renju else jnp.zeros_like(own5)
+        cand = (mine["four"] | mine["win3"]) & ~maybe_forb_own
+        three_ok = (tl > 0)[:, None, None]
+        cand = cand | (mine["three"] & three_ok)
+        cand = jnp.where((n_opp5 > 0)[:, None, None],
+                         mine["four"] & opp5 & ~maybe_forb_own, cand)
+        cand_flat = cand.reshape(bsz, hw) & ~plane_at(st.att_tried, ply_idx)
+        can_advance = adv & ~win_now & ~static_fail & ~tt_fail & ~depth_fail
+        cand_flat = cand_flat & can_advance[:, None]
+        # priority: open-four/fork makers, then fours, then threes (fork
+        # threes first) — reference: staged generation order,
+        # ThreatGenerator.hpp:78-88
+        prio3 = mine["win3"].reshape(bsz, hw)
+        prio2 = mine["four"].reshape(bsz, hw)
+        n3f = mine["n3"].reshape(bsz, hw)
+        prio = jnp.where(prio3, 64, jnp.where(prio2, 32, 8)) + n3f
+        prio = jnp.where(cand_flat, prio, 0)
+        has_cand = jnp.any(cand_flat, -1)
+        exhausted = can_advance & ~has_cand
+
+        move = jnp.argmax(prio, -1).astype(jnp.int32)
+        do_try = can_advance & has_cand
+        mr, mc = move // w, move % w
+        board2 = place(st.board, do_try, move, stm)
+
+        # attacker five threats flow through the new stone's lines (a five
+        # wins in renju even on an otherwise-forbidden cell: five trumps
+        # forbidden, and PT_FIVE is already renju-exact for black)
+        threats = _five_completions(tables, board2, mr, mc, stm)  # [B, HW]
+        threats = threats & do_try[:, None]
+        n_thr = threats.sum(-1)
+        win_dd = do_try & (n_thr >= 2)  # double four: unstoppable
+
+        block = jnp.argmax(threats, -1).astype(jnp.int32)
+        if renju:
+            # forced block CERTAINLY forbidden for a black defender -> win.
+            # Classified on the post-move board (the attacker's stone can
+            # only have removed black patterns, so post-move is exact here).
+            blk_wins = V.windows_at_one(board2, block // w, block % w)  # [B,4]
+            blk_pts = V.pattern_types(tables, blk_wins, jnp.zeros(bsz, bool))
+            blk_n4 = (
+                (blk_pts == T.PT_HALF_OPEN_4)
+                | (blk_pts == T.PT_OPEN_4)
+                | (blk_pts == T.PT_DOUBLE_4)
+            ).sum(-1)
+            block_forb = (
+                jnp.any(blk_pts == T.PT_OVERLINE, -1)
+                | jnp.any(blk_pts == T.PT_DOUBLE_4, -1)
+                | (blk_n4 >= 2)
+            ) & (def_sign == CROSS)
+        else:
+            block_forb = jnp.zeros(bsz, bool)
+        win_blk = do_try & (n_thr == 1) & block_forb
+
+        forced = do_try & (n_thr == 1) & ~block_forb
+
+        # --- AND-node option set for open-three moves (n_thr == 0) ---
+        is_three_move = do_try & (n_thr == 0)
+        ext = _ext_windows_at_one(st.board, mr, mc)  # [B, 4] pre-move
+        dmask = DEF.get_moves_batched(
+            rules, ext, jnp.broadcast_to(def_is_circle[:, None], (bsz, 4)),
+            T.PT_OPEN_3,
+        ).astype(jnp.uint32)  # [B, 4] 13-bit masks
+        pts_at_m = jnp.where(
+            (move[:, None] == jnp.arange(hw, dtype=jnp.int32)[None, :])[:, :, None],
+            own_pts.reshape(bsz, hw, 4), 0,
+        ).sum(1)  # [B, 4]
+        dir_is3 = pts_at_m == T.PT_OPEN_3
+        opts = jnp.zeros((bsz, hw), bool)
+        for d, (dr, dc) in enumerate(V.DIRECTION_STEPS):
+            for i in range(DEF.EXT_LENGTH):
+                bit = ((dmask[:, d] >> U(i)) & 1) == 1
+                rr = mr + (i - DEF.CENTER) * dr
+                cc = mc + (i - DEF.CENTER) * dc
+                ok = bit & dir_is3[:, d] & (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
+                cell = jnp.clip(rr, 0, h - 1) * w + jnp.clip(cc, 0, w - 1)
+                opts = opts | (
+                    (cell[:, None] == jnp.arange(hw, dtype=jnp.int32)[None, :])
+                    & ok[:, None]
+                )
+        # counter-fours: pre-move defender four/five makers (superset of
+        # the post-move set — an attacker stone only removes defender fours)
+        opts = opts | (theirs["four"] | opp5).reshape(bsz, hw)
+        opts = opts & (board2 == V.NONE).reshape(bsz, hw)
+        opts = opts & is_three_move[:, None]
+        n_opts = opts.sum(-1)
+        # a candidate that created neither a five threat nor an open three
+        # is non-forcing (stale classification edge case): abandon it rather
+        # than ever counting it as a win
+        real3 = jnp.any(dir_is3, -1)
+        win_nodef = is_three_move & real3 & (n_opts == 0)
+        too_wide = is_three_move & ((n_opts > max_defenses) | ~real3) & ~win_nodef
+        do_and = is_three_move & real3 & ~win_nodef & ~too_wide
+
+        first_opt = jnp.argmax(opts, -1).astype(jnp.int32)
+        reply = jnp.where(forced, block, first_opt)
+        descend = forced | do_and
+        board3 = place(board2, descend, reply, def_sign)
+        # abandoned candidates (too_wide) keep the pre-move board
+        board3 = jnp.where(too_wide[:, None, None], st.board, board3)
+
+        won_adv = win_now | win_dd | win_blk | win_nodef
+        fail_adv = static_fail | tt_fail | depth_fail | exhausted
+
+        # --- TT insert on frame failure ---
+        ins = fail_adv & ~tt_fail  # tt hits need no re-store
+        ins_depth = jnp.where(static_fail, _TT_BIG_DEPTH, rem)
+        ins_threes = jnp.where(static_fail, _TT_BIG_DEPTH, tl)
+        wsel = slot_sel & ins[:, None]
+        tt_hash = jnp.where(wsel, h2[:, None], st.tt_hash)
+        tt_depth = jnp.where(wsel, ins_depth[:, None], st.tt_depth)
+        tt_threes = jnp.where(wsel, ins_threes[:, None], st.tt_threes)
+
+        # --- ADVANCE state writes ---
+        att_tried = st.att_tried | (
+            (jnp.arange(D)[None, :, None] == ply_idx[:, None, None])
+            & do_try[:, None, None]
+            & (move[:, None] == jnp.arange(hw, dtype=jnp.int32)[None, :])[:, None, :]
+        )
+        att_move = set_col(st.att_move, ply_idx, do_try, move)
+        def_move = set_col(st.def_move, ply_idx, descend, reply)
+        def_opts = set_plane(
+            st.def_opts, ply_idx, descend,
+            jnp.where(forced[:, None],
+                      (block[:, None] == jnp.arange(hw, dtype=jnp.int32)[None, :]),
+                      opts))
+        def_tried = set_plane(
+            st.def_tried, ply_idx, descend, jnp.zeros((bsz, hw), bool))
+        threes_spent = is_three_move.astype(jnp.int32)
+        threes_left = set_col(
+            st.threes_left, jnp.clip(st.ply + 1, 0, D), descend, tl - threes_spent)
+
+        new_board = board3
+        new_ply = jnp.where(descend, st.ply + 1, st.ply)
+        new_phase = jnp.where(
+            won_adv & adv, jnp.int8(_RETW),
+            jnp.where(fail_adv & adv, jnp.int8(_RETF), st.phase))
+        # wins close with the board at frame-entry state
+        new_board = jnp.where((won_adv & adv)[:, None, None], st.board, new_board)
+        win_extra = jnp.where(
+            won_adv & adv, jnp.where(win_now, 1, 3), st.win_extra)
+        win_ply = jnp.where(won_adv & adv, st.ply, st.win_ply)
+        # remember the closing candidate for best-move reporting
+        att_move = set_col(att_move, ply_idx, (win_dd | win_blk | win_nodef), move)
+
+        # ================= RET_WIN =================
+        at_root = st.ply == 0
+        retw_done = retw & at_root
+        retw_pop = retw & ~at_root
+        q = jnp.clip(st.ply - 1, 0, D - 1)
+        dmq = col_at(st.def_move, q)
+        amq = col_at(st.att_move, q)
+        new_board = unplace(new_board, retw_pop, dmq)
+        def_tried = def_tried | (
+            (jnp.arange(D)[None, :, None] == q[:, None, None])
+            & retw_pop[:, None, None]
+            & (dmq[:, None] == jnp.arange(hw, dtype=jnp.int32)[None, :])[:, None, :]
+        )
+        remaining = plane_at(def_opts, q) & ~plane_at(def_tried, q)
+        more = retw_pop & jnp.any(remaining, -1)
+        closed = retw_pop & ~jnp.any(remaining, -1)
+        o2 = jnp.argmax(remaining, -1).astype(jnp.int32)
+        new_board = place(new_board, more, o2, def_sign)
+        def_move = set_col(def_move, q, more, o2)
+        new_phase = jnp.where(more, jnp.int8(_ADV), new_phase)
+        new_board = unplace(new_board, closed, amq)
+        new_ply = jnp.where(closed, q, new_ply)
+        frame_sel = (jnp.arange(D)[None, :, None] == ply_idx[:, None, None])
+        status = jnp.where(
+            retw_done, jnp.int8(_WIN),
+            jnp.where(retf & at_root, jnp.int8(_FAIL), st.status))
+
+        # ================= RET_FAIL =================
+        retf_pop = retf & ~at_root
+        new_board = unplace(new_board, retf_pop, dmq)
+        new_board = unplace(new_board, retf_pop, amq)
+        new_ply = jnp.where(retf_pop, q, new_ply)
+        new_phase = jnp.where(retf_pop, jnp.int8(_ADV), new_phase)
+        # candidate amq failed: clear parent's defender state (amq stays tried)
+        qsel = (jnp.arange(D)[None, :, None] == q[:, None, None]) & retf_pop[:, None, None]
+        def_opts = jnp.where(qsel, False, def_opts)
+        def_tried = jnp.where(qsel, False, def_tried)
+        def_move = set_col(def_move, q, retf_pop, jnp.full(bsz, -1, jnp.int32))
+
+        # reset the abandoned frame rows (invariant: frames >= ply are clean)
+        leave = (retw_pop | retf_pop)[:, None, None] & frame_sel
+        att_tried = jnp.where(leave, False, att_tried)
+        def_opts = jnp.where(leave, False, def_opts)
+        def_tried = jnp.where(leave, False, def_tried)
+        att_move = jnp.where(leave[:, :, 0], -1, att_move)
+
+        return _State(
+            board=new_board,
+            ply=new_ply,
+            phase=new_phase,
+            att_move=att_move,
+            def_move=def_move,
+            att_tried=att_tried,
+            def_opts=def_opts,
+            def_tried=def_tried,
+            threes_left=threes_left,
+            tt_hash=tt_hash,
+            tt_depth=tt_depth,
+            tt_threes=tt_threes,
+            status=status,
+            win_extra=win_extra,
+            win_ply=win_ply,
+            steps=st.steps + 1,
+        )
+
+    final = jax.lax.while_loop(cond, body, state)
+
+    win = final.status == _WIN
+    # immediate-five wins report the five cell; otherwise the root candidate
+    wins4 = jnp.moveaxis(V.windows_all(board), 1, -1)
+    pt_cross, pt_circle = bitwise.classify(wins4, rules)
+    own_pts0 = jnp.where(stm_is_circle[:, None, None, None], pt_circle, pt_cross)
+    own5_0 = (jnp.any(own_pts0 == T.PT_FIVE, -1) & (board == V.NONE)).reshape(bsz, hw)
+    imm = jnp.argmax(own5_0, -1).astype(jnp.int32)
+    has_imm = jnp.any(own5_0, -1)
+    first = jnp.where(has_imm, imm, final.att_move[:, 0])
+    first = jnp.where(win, first, -1)
+    distance = jnp.where(win, 2 * final.win_ply + final.win_extra, 0)
+    return VCTBatchedResult(win=win, best_move=first, distance=distance)
