@@ -52,6 +52,8 @@ class Engine:
         simulations: int = 400,
         sim_chunk: int = 50,
         seed: int = 0,
+        leaf_solver: str = "vct",
+        leaf_solver_steps: int = 16,
     ):
         self.rules = rules
         self.rows, self.cols = rows, cols
@@ -68,7 +70,8 @@ class Engine:
         # capacity 3x the per-move budget leaves headroom to carry the
         # subtree across moves (reference: NodeCache tree reuse)
         self._mcfg = mcts.MCTSConfig(
-            max_nodes=3 * simulations + 8, max_edges=32, max_depth=40
+            max_nodes=3 * simulations + 8, max_edges=32, max_depth=40,
+            leaf_solver=leaf_solver, leaf_solver_steps=leaf_solver_steps,
         )
         self._last_state: mcts.SearchState | None = None
         self._last_moves: list[Move] = []

@@ -34,6 +34,8 @@ class ProgramManager:
         filters: int = 64,
         checkpoint: str | None = None,
         simulations: int = 400,
+        leaf_solver: str = "vct",
+        leaf_solver_steps: int = 16,
         instream: IO[str] | None = None,
         outstream: IO[str] | None = None,
     ):
@@ -76,6 +78,8 @@ class ProgramManager:
         self._filters = filters
         self._checkpoint = checkpoint
         self._simulations = simulations
+        self._leaf_solver = leaf_solver
+        self._leaf_solver_steps = leaf_solver_steps
         self.engine: Engine | None = None
         self._bg_search = None
         self._running = True
@@ -102,6 +106,8 @@ class ProgramManager:
                 filters=self._filters,
                 checkpoint=self._checkpoint,
                 simulations=self._simulations,
+                leaf_solver=self._leaf_solver,
+                leaf_solver_steps=self._leaf_solver_steps,
             )
         return self.engine
 
@@ -256,6 +262,9 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--blocks", type=int, default=6)
     p.add_argument("--filters", type=int, default=64)
     p.add_argument("--simulations", type=int, default=400)
+    p.add_argument("--leaf-solver", default="vct", choices=["none", "vcf", "vct"],
+                   help="per-leaf proof search fused into the MCTS step")
+    p.add_argument("--leaf-solver-steps", type=int, default=16)
     p.add_argument(
         "--selfcheck",
         action="store_true",
@@ -286,6 +295,8 @@ def main(argv: list[str] | None = None) -> None:
         filters=args.filters,
         checkpoint=args.checkpoint,
         simulations=args.simulations,
+        leaf_solver=args.leaf_solver,
+        leaf_solver_steps=args.leaf_solver_steps,
         instream=sys.stdin,
     ).run()
 

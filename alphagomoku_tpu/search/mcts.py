@@ -71,6 +71,13 @@ class MCTSConfig(NamedTuple):
     # NodeCache transposition tree, NodeCache.hpp:51-120)
     symmetry_averaging: bool = False  # random symmetry per NN evaluation
     # (reference: NNEvaluator augmentation, NNEvaluator.cpp:134-141)
+    leaf_solver: str = "none"  # none | vcf | vct: budgeted proof search on
+    # every leaf batch, fused into the step — proven wins override node and
+    # edge scores and force the winning move into expansion (reference: the
+    # per-leaf AlphaBetaSearch::solve leg, Search.cpp:159-183)
+    leaf_solver_steps: int = 24  # lockstep transitions per leaf batch
+    leaf_solver_depth: int = 6  # attacker plies
+    leaf_solver_threes: int = 2  # vct only: open-three budget per line
 
 
 class Tree(NamedTuple):
@@ -522,6 +529,55 @@ def make_simulate_fn(
         )
         analysis_f = static_solver.analyze(packed_f, legal_f)
 
+        # --------------------------------------------------------------
+        # SOLVE: budgeted proof search on the leaf batch (reference: the
+        # alpha-beta leg run on every SearchTaskList batch with a time
+        # budget, Search.cpp:159-183).  A proven win overrides the static
+        # node score, scores the winning edge, and boosts its prior so
+        # expansion keeps it (UnifiedGenerator solver-edge precedence).
+        # --------------------------------------------------------------
+        if cfg.leaf_solver != "none":
+            if cfg.leaf_solver == "vcf":
+                from . import vcf as _vcf
+
+                sres = _vcf.solve(
+                    tables, boards_f, stm_f,
+                    max_depth=cfg.leaf_solver_depth,
+                    max_steps=cfg.leaf_solver_steps,
+                )
+            else:
+                from . import vct_batched as _vctb
+
+                sres = _vctb.solve(
+                    tables, boards_f, stm_f,
+                    max_depth=cfg.leaf_solver_depth,
+                    max_steps=cfg.leaf_solver_steps,
+                    max_threes=cfg.leaf_solver_threes,
+                )
+            swin = sres.win & need_f & ~terminal_f
+            win_sc = S.win_in(jnp.clip(sres.distance, 1, 512))  # [S*B] u16
+            onehot_best = (
+                sres.best_move[:, None]
+                == jnp.arange(h * w, dtype=jnp.int32)[None, :]
+            ) & swin[:, None]
+            asf = analysis_f.action_scores.reshape(-1, h * w)
+            # win scores pack above every unproven code and shorter mates
+            # pack higher, so maximum keeps the strongest claim
+            asf = jnp.where(
+                onehot_best, jnp.maximum(asf, win_sc[:, None]), asf
+            )
+            analysis_f = analysis_f._replace(
+                action_scores=asf.reshape(analysis_f.action_scores.shape),
+                node_score=jnp.where(
+                    swin,
+                    jnp.maximum(analysis_f.node_score, win_sc),
+                    analysis_f.node_score,
+                ),
+            )
+            policy_f = jnp.where(
+                onehot_best.reshape(policy_f.shape), policy_f + 1.0, policy_f
+            )
+
         def split(x):
             return [x[i * bsz : (i + 1) * bsz] for i in range(NSIM)]
 
@@ -946,6 +1002,44 @@ def init_root(
         net_apply, variables, tables, board, stm, raw_input
     )
     analysis = static_solver.analyze(packed, legal)
+    if cfg.leaf_solver != "none":
+        # solve the root position too — roots never appear as leaves, and a
+        # root-proven win makes the proven edge dominate selection at once
+        # (reference: AlphaBetaSearch also solves root tasks)
+        if cfg.leaf_solver == "vcf":
+            from . import vcf as _vcf
+
+            sres = _vcf.solve(
+                tables, board, stm,
+                max_depth=cfg.leaf_solver_depth,
+                max_steps=4 * cfg.leaf_solver_steps,
+            )
+        else:
+            from . import vct_batched as _vctb
+
+            sres = _vctb.solve(
+                tables, board, stm,
+                max_depth=cfg.leaf_solver_depth,
+                max_steps=4 * cfg.leaf_solver_steps,
+                max_threes=cfg.leaf_solver_threes,
+            )
+        win_sc = S.win_in(jnp.clip(sres.distance, 1, 512))
+        onehot_best = (
+            sres.best_move[:, None] == jnp.arange(h * w, dtype=jnp.int32)[None, :]
+        ) & sres.win[:, None]
+        asf = analysis.action_scores.reshape(bsz, h * w)
+        asf = jnp.where(onehot_best, jnp.maximum(asf, win_sc[:, None]), asf)
+        analysis = analysis._replace(
+            action_scores=asf.reshape(analysis.action_scores.shape),
+            node_score=jnp.where(
+                sres.win,
+                jnp.maximum(analysis.node_score, win_sc),
+                analysis.node_score,
+            ),
+        )
+        policy = jnp.where(
+            onehot_best.reshape(policy.shape), policy + 1.0, policy
+        )
     restrict = analysis.restrict
     if root_move_mask is not None:
         # opening generators restrict the root move set (reference:

@@ -67,6 +67,9 @@ class ManagerConfig:
     use_gating: bool = False  # gating needs the eval module match runner
     validation_fraction: float = 0.05  # (reference: validation_percent,
     # TrainingManager.cpp:188 + valid_buffer/ split)
+    leaf_solver: str = "none"  # none | vcf | vct: per-leaf proof search in
+    # selfplay searches (reference: Search::solve, Search.cpp:159-183)
+    leaf_solver_steps: int = 16
     seed: int = 0
 
 
@@ -210,6 +213,8 @@ class TrainingManager:
                 max_nodes=sims + 8,
                 max_edges=32,
                 max_depth=32,
+                leaf_solver=cfg.leaf_solver,
+                leaf_solver_steps=cfg.leaf_solver_steps,
             )
             scfg = SelfplayConfig(
                 num_simulations=sims,
