@@ -166,11 +166,22 @@ def windows_at_sel(
     onehot = (
         (rq * w + cq)[:, :, None] == jnp.arange(h * w, dtype=jnp.int32)[None, None, :]
     ).astype(jnp.bfloat16)  # [B, Q, HW]
-    acc = jnp.zeros((bsz, q, 4), jnp.uint32)
-    for shift in (0, 8, 16):  # 22-bit windows: three bytes
-        byte = ((wins_flat >> np.uint32(shift)) & U32_FF).astype(jnp.float32)
-        sel = jnp.einsum("bqm,bcm->bqc", onehot, byte)
-        acc = acc | (jnp.round(sel).astype(jnp.uint32) << np.uint32(shift))
+    # 22-bit windows split into three bf16-exact bytes, selected in ONE
+    # einsum (per-byte passes re-materialize the one-hot and triple traffic)
+    bytes_flat = jnp.concatenate(
+        [
+            ((wins_flat >> np.uint32(shift)) & U32_FF).astype(jnp.float32)
+            for shift in (0, 8, 16)
+        ],
+        axis=1,
+    )  # [B, 12, HW]
+    sel = jnp.einsum("bqm,bcm->bqc", onehot, bytes_flat)  # [B, Q, 12]
+    selu = jnp.round(sel).astype(jnp.uint32).reshape(bsz, q, 3, 4)
+    acc = (
+        selu[:, :, 0, :]
+        | (selu[:, :, 1, :] << np.uint32(8))
+        | (selu[:, :, 2, :] << np.uint32(16))
+    )
 
     if overlay_rows is not None:
         ovr = overlay_rows.reshape(bsz, q, -1)
@@ -277,13 +288,25 @@ def is_forbidden(
     depth: int = 2,
     overlay_rows: jax.Array | None = None,
     overlay_cols: jax.Array | None = None,
+    max_forks: int | None = 8,
 ) -> jax.Array:
     """Batched renju forbidden check for BLACK moves at query cells.
 
     rows/cols: [B, *S] -> bool [B, *S].  The query cell may be empty or
     occupied (windows mask the center).  Exact re-expression of reference
     src/game/rules.cpp:134-173 with recursion depth bounded by `depth`.
+
+    `max_forks` caps how many naive-FORK_3x3 query cells per board get the
+    full fake-three resolution when the query axis is wide (the recursion
+    widens each query x16 per level; resolving every cell materializes
+    multi-GB one-hot selects at the deepest level).  Fork cells are rare —
+    compacting to the live ones keeps the math exact unless a single board
+    has more than `max_forks` simultaneous fork queries, in which case the
+    overflow cells fall back to the naive (conservative) answer.  The
+    differential oracle fuzz (tools/parity_fuzz.py) measures this bound.
     """
+    from ..patterns import bitwise  # deferred: avoids import cycle at load
+
     board = jnp.asarray(board)
     rows, cols = jnp.asarray(rows), jnp.asarray(cols)
     h, w = board.shape[1], board.shape[2]
@@ -291,7 +314,10 @@ def is_forbidden(
     not_circle = jnp.zeros(qshape, bool)
 
     windows = windows_at_sel(board, rows, cols, overlay_rows, overlay_cols)
-    pts = pattern_types(tables, windows, not_circle)
+    # gather-free classification: a take into the 1M-entry pattern table
+    # serializes per batch row on TPU; the compiled bit-math classifier is
+    # pure VPU work (the unused circle side is dead-code-eliminated)
+    pts, _ = bitwise.classify(windows, GameRules(tables.rules))
     threat = threat_type(tables, pts, not_circle)
     naive = (
         (threat == T.TT_OVERLINE) | (threat == T.TT_FORK_4x4) | (threat == T.TT_FORK_3x3)
@@ -300,6 +326,46 @@ def is_forbidden(
         return naive
 
     is_fork = threat == T.TT_FORK_3x3
+
+    bsz = board.shape[0]
+    q_total = int(np.prod(qshape[1:])) if len(qshape) > 1 else 1
+    # compaction pays for itself only when the x16 widening below would be
+    # large; for narrow queries the top_k/scatter overhead exceeds the save
+    if max_forks is not None and q_total > 4 * max_forks:
+        # compact: resolve only the (rare) fork cells, at most max_forks per
+        # board, then scatter the verdicts back over the naive answer
+        rows_f = rows.reshape(bsz, q_total)
+        cols_f = cols.reshape(bsz, q_total)
+        fork_f = is_fork.reshape(bsz, q_total)
+        naive_f = naive.reshape(bsz, q_total)
+
+        def resolve_compacted(_):
+            vals, idx = jax.lax.top_k(fork_f.astype(jnp.int32), max_forks)
+            sub_r = jnp.take_along_axis(rows_f, idx, 1)  # [B, F]
+            sub_c = jnp.take_along_axis(cols_f, idx, 1)
+            if overlay_rows is not None:
+                kov = overlay_rows.shape[-1]
+                ov_rf = overlay_rows.reshape(bsz, q_total, kov)
+                ov_cf = overlay_cols.reshape(bsz, q_total, kov)
+                sub_ovr = jnp.take_along_axis(ov_rf, idx[:, :, None], 1)
+                sub_ovc = jnp.take_along_axis(ov_cf, idx[:, :, None], 1)
+            else:
+                sub_ovr = sub_ovc = None
+            sub_forb = is_forbidden(
+                tables, board, sub_r, sub_c, depth, sub_ovr, sub_ovc,
+                max_forks=None,
+            )  # [B, F]
+            valid = vals > 0
+            onehot = idx[:, :, None] == jnp.arange(q_total, dtype=jnp.int32)[None, None, :]
+            resolved_true = ((sub_forb & valid)[:, :, None] & onehot).any(1)
+            covered = (valid[:, :, None] & onehot).any(1)
+            # unselected fork cells (overflow past max_forks) keep naive
+            return (naive_f & ~fork_f) | resolved_true | (fork_f & ~covered)
+
+        out_f = jax.lax.cond(
+            jnp.any(fork_f), resolve_compacted, lambda _: naive_f, operand=None
+        )
+        return out_f.reshape(qshape)
 
     def resolve(_):
         # enumerate the (direction, offset) promotion spots, then COMPACT to
@@ -510,7 +576,9 @@ def forbidden_plane(tables: RuleTables, board: jax.Array, depth: int = 2) -> jax
         flat = fork.reshape(bsz, h * w)
         vals, idxs = jax.lax.top_k(flat.astype(jnp.int32), max_forks)  # [B, K]
         r, c = idxs // w, idxs % w
-        f = is_forbidden(tables, board, r, c, depth)  # [B, K]
+        # queries are already compacted to fork cells; the recursion's own
+        # per-level compaction still bounds the nested levels
+        f = is_forbidden(tables, board, r, c, depth, max_forks=None)  # [B, K]
         f = f & (vals > 0)
         res = jnp.zeros((bsz, h * w), bool)
         res = res.at[jnp.arange(bsz)[:, None], idxs].max(f)
