@@ -56,15 +56,18 @@ class MCTSConfig(NamedTuple):
     max_nodes: int = 1024
     max_edges: int = 32  # max_children (reference default from auto-config)
     max_depth: int = 48
-    policy: str = "puct"  # puct | puct_fpu | ucb (reference: EdgeSelector
-    # registry selectable by config string, EdgeSelector.cpp:680+)
+    policy: str = "puct"  # puct | puct_fpu | puct_variance | ucb | lcb |
+    # thompson | kl_ucb | bayes_ucb | learnable (reference: EdgeSelector
+    # registry selectable by config string, EdgeSelector.cpp:680-712)
     exploration_constant: float = 1.25  # c_puct
     exploration_scaling: float = 0.0  # * log(parent visits)
     fpu_reduction: float = 0.25  # puct_fpu: first-play urgency below parent Q
     init_to: str = "parent"  # loss | draw | parent | q_head
     policy_expansion_temperature: float = 1.0
-    noise_weight: float = 0.0  # dirichlet noise at root (selfplay)
+    noise_weight: float = 0.0  # root exploration noise (selfplay)
     noise_alpha: float = 0.1
+    noise_type: str = "dirichlet"  # dirichlet | gumbel | custom (reference:
+    # applyDirichlet/Gumbel/CustomNoise, EdgeSelector.cpp:602-625)
     leaf_batch: int = 1  # simulations selected per step under virtual loss
     # (reference: SearchTaskList batching, Search.hpp:56-96)
     use_transpositions: bool = True  # hash-probe node sharing (reference:
@@ -136,16 +139,57 @@ def init_tree(batch: int, cfg: MCTSConfig) -> Tree:
 # ---------------------------------------------------------------------------
 
 
+def _fit_kl(p: jax.Array, t: jax.Array, iters: int = 24) -> jax.Array:
+    """Upper-confidence q solving KL(p||q) = t by damped Newton iteration
+    (reference: KLUCB::fit_kl, EdgeSelector.cpp:258-277; the reference's
+    early-exit-at-1e-3 loop becomes a fixed-iteration jittable loop)."""
+    eps = 1e-9
+
+    def log_eps(x):
+        return jnp.log(jnp.maximum(x, eps))
+
+    rhs = p * log_eps(p) + (1.0 - p) * log_eps(1.0 - p) - t
+    q0 = 0.5 * (1.0 + p)
+
+    def body(_, q):
+        f = p * log_eps(q) + (1.0 - p) * log_eps(1.0 - q) - rhs
+        df = (p - q) / jnp.maximum(q * (1.0 - q), eps)
+        df = jnp.where(jnp.abs(df) > 1e-12, df, -1e-12)
+        step = 0.9 * (1.0 - q)
+        qn = q - jnp.maximum(-step, f / df)
+        return jnp.clip(qn, eps, 1.0 - eps)
+
+    return jax.lax.fori_loop(0, iters, body, q0)
+
+
+def _hash_uniform(*ints: jax.Array) -> jax.Array:
+    """Cheap deterministic pseudo-uniform in [0, 1) from integer streams —
+    stands in for the reference's thread-local randFloat() inside the jitted
+    step (the stream varies per node/slot/visit so repeated selections see
+    fresh draws)."""
+    acc = jnp.zeros_like(jnp.broadcast_arrays(*ints)[0], jnp.uint32)
+    for i, x in enumerate(ints):
+        acc = (acc ^ x.astype(jnp.uint32)) * jnp.uint32(2654435761 + 2 * i)
+        acc = acc ^ (acc >> 15)
+    return (acc >> 8).astype(jnp.float32) / jnp.float32(1 << 24)
+
+
 def _edge_utility(
     tree: Tree,
     cfg: MCTSConfig,
     node: jax.Array,
     prior: jax.Array,
     vl: jax.Array | None = None,
+    is_root: jax.Array | None = None,
+    tp_params: Any = None,
 ) -> jax.Array:
-    """PUCT utility [B, K] for the edges of `node` [B]
-    (reference: EdgeSelector.cpp:389-424).  `vl` [B, K] counts virtual
-    visits from other in-flight leaf selections."""
+    """In-tree edge utility [B, K] for the edges of `node` [B], per
+    cfg.policy (reference: the EdgeSelector op family,
+    EdgeSelector.cpp:129-470 and the create registry :680-712).
+    `vl` [B, K] counts virtual visits from other in-flight leaf selections;
+    `is_root` [B] marks trees whose current node is the search root
+    (the learnable policy runs its MLP there); `tp_params` are the
+    LearnablePolicySelector MLP parameters."""
     b = jnp.arange(tree.batch)
     visits = tree.edge_visits[b, node]
     vsum = tree.edge_value_sum[b, node]
@@ -156,18 +200,26 @@ def _edge_utility(
     c_puct = cfg.exploration_constant + cfg.exploration_scaling * jnp.log(
         jnp.maximum(n_parent, 1.0)
     )
+    # the bandit selectors hardcode this schedule in the reference
+    # (EdgeSelector.cpp: "0.25f + 0.073f * std::log(...)")
+    c_bandit = 0.25 + 0.073 * jnp.log(jnp.maximum(n_parent, 1.0))
 
     nf = visits.astype(jnp.float32)
     expectation = (vsum[..., 0] + 0.5 * vsum[..., 1]) / jnp.maximum(nf, 1.0)
     pv_sum = tree.node_value_sum[b, node]
     pn = jnp.maximum(n_parent, 1.0)
     parent_q = ((pv_sum[..., 0] + 0.5 * pv_sum[..., 1]) / pn)[:, None]
+    parent_wdl = pv_sum / pn[:, None]
     if cfg.policy == "puct_fpu":
         # first-play urgency: unvisited edges start below the parent value
         # (reference: PUCTfpuSelector, EdgeSelector.cpp:862-890)
         q_init = jnp.broadcast_to(
             jnp.maximum(parent_q - cfg.fpu_reduction, 0.0), expectation.shape
         )
+    elif cfg.policy in ("puct_variance", "learnable"):
+        # q-head ops: unvisited edges read the network's action value
+        # (reference: PUCT_q_head, EdgeSelector.cpp:343-388)
+        q_init = tree.edge_q_init[b, node].astype(jnp.float32)
     elif cfg.init_to == "parent":
         q_init = jnp.broadcast_to(parent_q, expectation.shape)
     elif cfg.init_to == "draw":
@@ -194,9 +246,110 @@ def _edge_utility(
         u = cfg.exploration_constant * jnp.sqrt(
             jnp.log(jnp.maximum(n_parent, 1.0))[:, None] / (1.0 + nf)
         )
-    else:
+        util = q + u
+    elif cfg.policy == "lcb":
+        # LOWER confidence bound: conservative final-ish policy
+        # (reference: LCB op, EdgeSelector.cpp:446-470)
+        q_lcb = jnp.where(visits > 0, q, jnp.broadcast_to(parent_q, q.shape))
+        u = cfg.exploration_constant * jnp.sqrt(
+            jnp.log(jnp.maximum(n_parent, 1.0))[:, None] / (1.0 + nf)
+        )
+        util = q_lcb - u
+        # only LOSS is pinned for LCB (reference pins just the loss case)
+        dist = S.get_distance(escore).astype(jnp.float32)
+        util = jnp.where(S.is_loss(escore), -1.0e6 + dist + prior, util)
+        return jnp.where(valid, util, -jnp.inf)
+    elif cfg.policy == "thompson":
+        # active reference code is ThompsonSamplingNormal with the variance
+        # term disabled (EdgeSelector.cpp:129-218: variance = 0, so the
+        # gaussian collapses to its mean): mean + exploration term, with
+        # unvisited means fitted from the prior via the inverse error
+        # function (fit_mean with best_mean=0, variance 2*0.6)
+        fit0 = jnp.sqrt(2.0 * (0.6 + 0.6)) * jax.scipy.special.erfinv(
+            jnp.clip(2.0 * prior - 1.0, -0.999999, 0.999999)
+        )
+        mean = jnp.where(visits > 0, q, fit0)
+        u = prior * (c_bandit * jnp.sqrt(n_parent))[:, None] / (1.0 + nf)
+        util = mean + u
+    elif cfg.policy == "bayes_ucb":
+        # posterior-quantile selection; with the variance term disabled the
+        # visited quantile is the mean, unvisited edges fit the prior
+        # quantile at variance best+prior = 20 (reference: BayesUCB,
+        # EdgeSelector.cpp:278-342)
+        fit0 = jnp.sqrt(2.0 * 20.0) * jax.scipy.special.erfinv(
+            jnp.clip(2.0 * prior - 1.0, -0.999999, 0.999999)
+        )
+        util = jnp.where(visits > 0, q, fit0)
+    elif cfg.policy == "kl_ucb":
+        # KL-UCB (reference: KLUCB op, EdgeSelector.cpp:215-277): visited
+        # edges take the KL upper bound; unvisited edges draw a bernoulli
+        # boost from the prior
+        t_kl = jnp.log(jnp.maximum(n_parent, 1.0))[:, None] / jnp.maximum(nf, 1.0)
+        q_kl = _fit_kl(jnp.clip(q, 0.0, 1.0), t_kl)
+        u = prior / (1.0 + nf)
+        rnd = _hash_uniform(
+            node[:, None] + jnp.zeros_like(visits),
+            jnp.arange(visits.shape[-1], dtype=jnp.int32)[None, :]
+            + jnp.zeros_like(visits),
+            tree.node_visits[b, node][:, None] + jnp.zeros_like(visits),
+        )
+        unvisited = jnp.where(rnd <= prior, 100.0 + prior, prior)
+        util = jnp.where(visits > 0, q_kl + u, unvisited)
+    elif cfg.policy == "puct_variance":
+        # exploration scaled by the dispersion of visited-edge values
+        # (reference: PUCTvarianceSelector::select, EdgeSelector.cpp:1255+)
+        visited = (visits > 0) & valid
+        vcount = visited.sum(-1).astype(jnp.float32)
+        sum_visits = jnp.where(visited, nf, 0.0).sum(-1)
+        avg = jnp.where(visited, expectation * nf, 0.0).sum(-1) / jnp.maximum(
+            sum_visits, 1.0
+        )
+        var = jnp.where(visited, (expectation - avg[:, None]) ** 2 * nf, 0.0).sum(-1)
+        scale = jnp.where(
+            vcount > 1.0,
+            jnp.sqrt(
+                vcount * var / jnp.maximum((vcount - 1.0) * sum_visits, 1.0)
+            ),
+            1.0,
+        )
+        util = q + prior * (cfg.exploration_constant * scale)[:, None]
+    elif cfg.policy == "learnable":
+        # LearnablePolicySelector (reference: EdgeSelector.cpp:735-860):
+        # at the root an MLP over 8 edge features produces logits sampled
+        # with a visit-scaled temperature (gumbel-max = exact softmax
+        # sampling); below the root, PUCT_q_head with the reference's
+        # hardcoded c = 0.4062 + 0.1585 * log(N)
+        from . import tree_policy as TP
+
+        c_learn = 0.4062 + 0.1585 * jnp.log(jnp.maximum(n_parent, 1.0))
+        u = prior * (c_learn * jnp.sqrt(n_parent))[:, None] / (1.0 + nf)
+        util_inner = q + u
+        if tp_params is not None and is_root is not None:
+            ew = tree.edge_value_sum[b, node] / jnp.maximum(nf, 1.0)[..., None]
+            feats = TP.edge_features(
+                n_parent, parent_wdl, nf, prior, ew[..., 0], ew[..., 1]
+            )
+            logits = TP.apply(tp_params, feats)
+            temp = jnp.maximum(
+                cfg.exploration_constant
+                + cfg.exploration_scaling
+                * jnp.log10(jnp.maximum(n_parent, 1.0))[:, None],
+                1e-3,
+            )
+            rnd = _hash_uniform(
+                node[:, None] + jnp.zeros_like(visits),
+                jnp.arange(visits.shape[-1], dtype=jnp.int32)[None, :]
+                + jnp.zeros_like(visits),
+                tree.node_visits[b, node][:, None] + jnp.zeros_like(visits),
+            )
+            gumbel = -jnp.log(-jnp.log(jnp.clip(rnd, 1e-7, 1.0 - 1e-7)))
+            util_root = logits / temp + gumbel
+            util = jnp.where(is_root[:, None], util_root, util_inner)
+        else:
+            util = util_inner
+    else:  # puct family
         u = prior * (c_puct * jnp.sqrt(n_parent))[:, None] / (1.0 + nf)
-    util = q + u
+        util = q + u
 
     # proven edges pin the utility (reference: EdgeSelector.cpp:400-410)
     dist = S.get_distance(escore).astype(jnp.float32)
@@ -212,11 +365,13 @@ def select_edge(
     node: jax.Array,
     prior: jax.Array,
     vl: jax.Array | None = None,
+    is_root: jax.Array | None = None,
+    tp_params: Any = None,
 ) -> jax.Array:
-    """Best edge slot [B] of `node` [B] by PUCT."""
-    return jnp.argmax(_edge_utility(tree, cfg, node, prior, vl), axis=-1).astype(
-        jnp.int32
-    )
+    """Best edge slot [B] of `node` [B] by the configured in-tree policy."""
+    return jnp.argmax(
+        _edge_utility(tree, cfg, node, prior, vl, is_root, tp_params), axis=-1
+    ).astype(jnp.int32)
 
 
 # ---------------------------------------------------------------------------
@@ -329,6 +484,43 @@ def _evaluate(
 # ---------------------------------------------------------------------------
 
 
+class SearchStats(NamedTuple):
+    """On-device per-phase counters accumulated by every simulate step,
+    the lockstep counterpart of the reference's SearchStats / TimedStat
+    discipline (reference: monte_carlo/Search.hpp:33-54 select/expand/
+    backup timers + nb_duplicate_nodes/nb_information_leaks counters,
+    NodeCacheStats NodeCache.hpp:22-49).  All [B] int32, per tree."""
+
+    depth_sum: jax.Array  # total descent plies
+    expansions: jax.Array  # new nodes allocated
+    transpositions: jax.Array  # hash-probe hits linked to existing nodes
+    duplicates: jax.Array  # same-edge duplicate selections within a batch
+    proven_revisits: jax.Array  # descents ending at a proven node
+    terminals: jax.Array  # leaves that were terminal positions
+    solver_wins: jax.Array  # leaf-solver proven wins
+
+    @staticmethod
+    def zeros(batch: int) -> "SearchStats":
+        z = jnp.zeros(batch, jnp.int32)
+        return SearchStats(z, z, z, z, z, z, z)
+
+    def summary(self, sims: jax.Array) -> dict:
+        """Host-side aggregate dict (printable after a search)."""
+        import numpy as np
+
+        s = float(np.maximum(np.asarray(sims, np.float64).sum(), 1.0))
+        f = lambda x: float(np.asarray(x, np.float64).sum())
+        return {
+            "avg_depth": f(self.depth_sum) / s,
+            "expansions": f(self.expansions),
+            "transpositions": f(self.transpositions),
+            "duplicates": f(self.duplicates),
+            "proven_revisits": f(self.proven_revisits),
+            "terminals": f(self.terminals),
+            "solver_wins": f(self.solver_wins),
+        }
+
+
 class SearchState(NamedTuple):
     """Carry of the per-move search: tree + root position.
 
@@ -343,6 +535,7 @@ class SearchState(NamedTuple):
     root_node: jax.Array  # [B] int32 index of the root node
     noisy_prior: jax.Array  # [B, K] root priors with exploration noise
     sims_done: jax.Array  # [B] int32
+    stats: SearchStats  # per-phase counters (reference: Search.hpp:33-54)
 
 
 def make_simulate_fn(
@@ -351,6 +544,7 @@ def make_simulate_fn(
     cfg: MCTSConfig,
     raw_input: bool = True,
     profile_cutoff: str | None = None,
+    tp_params: Any = None,
 ):
     """Build the jittable one-step simulation batch: (variables, state) ->
     state, advancing every tree by `cfg.leaf_batch` simulations.
@@ -413,7 +607,10 @@ def make_simulate_fn(
                     ).sum(1)
                 else:
                     vl = None
-                slot = select_edge(tree, cfg, cur, prior, vl)
+                slot = select_edge(
+                    tree, cfg, cur, prior, vl,
+                    is_root=(cur == state.root_node), tp_params=tp_params,
+                )
                 action = tree.edge_action[b, cur, slot]
                 child = tree.edge_child[b, cur, slot]
                 no_edges = tree.edge_action[b, cur, 0] == NULL
@@ -489,11 +686,16 @@ def make_simulate_fn(
                 prev_slots = jnp.concatenate([prev_slots, sub.ps_t], 1)
 
         if profile_cutoff == "select":
+            # the data dependency must flow into a REAL output leaf, or XLA
+            # dead-code-eliminates the whole phase (x*0 folds to 0)
             dep = sum(
                 s.steps + s.leaf + s.last_node + s.sim_board.sum((1, 2)).astype(jnp.int32)
                 for s in subs
             )
-            return state._replace(sims_done=state.sims_done + NSIM + dep * 0)
+            return state._replace(
+                sims_done=state.sims_done + NSIM,
+                stats=state.stats._replace(depth_sum=state.stats.depth_sum + dep),
+            )
 
         # ------------------------------------------------------------------
         # TERMINAL CHECK + EVALUATE: all S x B positions in one fused batch
@@ -536,6 +738,7 @@ def make_simulate_fn(
         # node score, scores the winning edge, and boosts its prior so
         # expansion keeps it (UnifiedGenerator solver-edge precedence).
         # --------------------------------------------------------------
+        solver_win_f = jnp.zeros(boards_f.shape[0], bool)
         if cfg.leaf_solver != "none":
             if cfg.leaf_solver == "vcf":
                 from . import vcf as _vcf
@@ -555,6 +758,7 @@ def make_simulate_fn(
                     max_threes=cfg.leaf_solver_threes,
                 )
             swin = sres.win & need_f & ~terminal_f
+            solver_win_f = swin
             win_sc = S.win_in(jnp.clip(sres.distance, 1, 512))  # [S*B] u16
             onehot_best = (
                 sres.best_move[:, None]
@@ -593,10 +797,12 @@ def make_simulate_fn(
 
         # per-sub-simulation backup seeds
         start_value_s, start_score_s, start_ml_s = [], [], []
+        revisit_s = []
         for s in range(NSIM):
             sub = subs[s]
             leaf_proven = S.is_proven(tree.node_score[b, sub.leaf])
             revisit_proven = (~sub.need_expand) & leaf_proven
+            revisit_s.append(revisit_proven)
             sv = jnp.where(
                 revisit_proven[:, None],
                 S.convert_to_value(tree.node_score[b, sub.leaf]),
@@ -613,10 +819,14 @@ def make_simulate_fn(
 
         if profile_cutoff == "evaluate":
             dep = sum(
-                sv.sum(-1) + ss.astype(jnp.float32) for sv, ss in zip(start_value_s, start_score_s)
-            ) + policy_f.sum() * 0
+                sv.sum(-1) + ss.astype(jnp.float32)
+                for sv, ss in zip(start_value_s, start_score_s)
+            ) + policy_f.reshape(NSIM, bsz, -1).sum((0, 2))
             return state._replace(
-                sims_done=state.sims_done + NSIM + dep.astype(jnp.int32) * 0
+                sims_done=state.sims_done + NSIM,
+                stats=state.stats._replace(
+                    depth_sum=state.stats.depth_sum + dep.astype(jnp.int32)
+                ),
             )
 
         # ------------------------------------------------------------------
@@ -634,7 +844,7 @@ def make_simulate_fn(
 
         actions_s, priors_s, q_init_s, escore0_s, nodescore_s = [], [], [], [], []
         do_expand_s, new_idx_s, link_target_s, link_flag_s = [], [], [], []
-        touch_node_s, touch_flag_s = [], []
+        touch_node_s, touch_flag_s, found_s, dup_s = [], [], [], []
         alloc = tree.node_count
         for s in range(NSIM):
             sub = subs[s]
@@ -724,6 +934,8 @@ def make_simulate_fn(
             link_flag_s.append(link_flag)
             touch_node_s.append(touch_node)
             touch_flag_s.append(touch_flag)
+            found_s.append(found)
+            dup_s.append(dup)
 
         onehot_sn = jnp.stack(
             [
@@ -821,8 +1033,8 @@ def make_simulate_fn(
             )
 
         if profile_cutoff == "expand":
-            dep = tree.node_count + tree.edge_child[:, 0, 0]
-            return state._replace(tree=tree, sims_done=state.sims_done + NSIM + dep * 0)
+            # tree is a real output here, so the expand phase survives DCE
+            return state._replace(tree=tree, sims_done=state.sims_done + NSIM)
 
         # stat credit for reached-but-not-created nodes: proven revisits,
         # depth cutoffs, duplicate expansions, transposition hits
@@ -965,6 +1177,21 @@ def make_simulate_fn(
                 node_score=tree.node_score + byte_einsum(ns_delta, per_slot=False),
             )
 
+        # per-phase counters (reference: SearchStats, Search.hpp:33-54)
+        st = state.stats
+        i32 = lambda xs: sum(x.astype(jnp.int32) for x in xs)
+        sw = solver_win_f.reshape(NSIM, bsz).astype(jnp.int32).sum(0)
+        new_stats = SearchStats(
+            depth_sum=st.depth_sum + sum(s.steps for s in subs),
+            expansions=st.expansions + i32(do_expand_s),
+            transpositions=st.transpositions + i32(found_s),
+            duplicates=st.duplicates + i32(dup_s),
+            proven_revisits=st.proven_revisits + i32(revisit_s),
+            terminals=st.terminals
+            + i32([terminal_s[s] & subs[s].need_expand for s in range(NSIM)]),
+            solver_wins=st.solver_wins + sw,
+        )
+
         return SearchState(
             tree=tree,
             root_board=state.root_board,
@@ -972,6 +1199,7 @@ def make_simulate_fn(
             root_node=state.root_node,
             noisy_prior=state.noisy_prior,
             sims_done=state.sims_done + NSIM,
+            stats=new_stats,
         )
 
     return simulate
@@ -1076,17 +1304,7 @@ def init_root(
         ),
         node_count=jnp.ones(bsz, jnp.int32),
     )
-    noisy = priors
-    if noise_key is not None and cfg.noise_weight > 0.0:
-        noise = jax.random.dirichlet(
-            noise_key, jnp.full((cfg.max_edges,), cfg.noise_alpha), (bsz,)
-        )
-        noisy = jnp.where(
-            actions != NULL,
-            (1.0 - cfg.noise_weight) * priors + cfg.noise_weight * noise,
-            0.0,
-        )
-        noisy = noisy / jnp.maximum(noisy.sum(-1, keepdims=True), 1e-12)
+    noisy = _apply_root_noise(cfg, priors, actions, noise_key)
     return SearchState(
         tree=tree,
         root_board=board,
@@ -1094,6 +1312,118 @@ def init_root(
         root_node=jnp.zeros(bsz, jnp.int32),
         noisy_prior=noisy,
         sims_done=jnp.zeros(bsz, jnp.int32),
+        stats=SearchStats.zeros(bsz),
+    )
+
+
+def _apply_root_noise(
+    cfg: MCTSConfig,
+    priors: jax.Array,
+    actions: jax.Array,
+    noise_key: jax.Array | None,
+) -> jax.Array:
+    """Root exploration noise over the K edge priors, per cfg.noise_type
+    (reference: applyDirichlet/Gumbel/CustomNoise, EdgeSelector.cpp:602-625)."""
+    bsz = priors.shape[0]
+    noisy = priors
+    if noise_key is not None and cfg.noise_weight > 0.0:
+        valid_e = actions != NULL
+        if cfg.noise_type == "gumbel":
+            # log-space perturbation, renormalized by softmax (reference:
+            # applyGumbelNoise, EdgeSelector.cpp:616-624)
+            g = jax.random.gumbel(noise_key, (bsz, cfg.max_edges))
+            logits = jnp.log(jnp.maximum(priors, 1e-9)) + cfg.noise_weight * g
+            noisy = jnp.where(valid_e, jax.nn.softmax(
+                jnp.where(valid_e, logits, -jnp.inf), -1), 0.0)
+        else:
+            if cfg.noise_type == "custom":
+                # stick-breaking noise: r_i = u_i^4 * (1 - sum so far), then
+                # a random shuffle (reference: createCustomNoise,
+                # src/utils/random.cpp:89-100)
+                ku, kp = jax.random.split(noise_key)
+                u4 = jax.random.uniform(ku, (bsz, cfg.max_edges)) ** 4
+                rem = jnp.cumprod(1.0 - u4, axis=-1) / jnp.maximum(1.0 - u4, 1e-9)
+                noise = u4 * rem
+                perm_keys = jax.random.split(kp, bsz)
+                noise = jax.vmap(jax.random.permutation)(perm_keys, noise)
+            else:  # dirichlet (default)
+                noise = jax.random.dirichlet(
+                    noise_key, jnp.full((cfg.max_edges,), cfg.noise_alpha), (bsz,)
+                )
+            noisy = jnp.where(
+                valid_e,
+                (1.0 - cfg.noise_weight) * priors + cfg.noise_weight * noise,
+                0.0,
+            )
+        noisy = noisy / jnp.maximum(noisy.sum(-1, keepdims=True), 1e-12)
+    return noisy
+
+
+def reuse_or_init_root(
+    net_apply: Callable,
+    variables: Any,
+    tables: V.RuleTables,
+    cfg: MCTSConfig,
+    prev_state: SearchState,
+    prev_move: jax.Array,
+    board: jax.Array,
+    stm: jax.Array,
+    reserve: int,
+    raw_input: bool = True,
+    noise_key: jax.Array | None = None,
+) -> SearchState:
+    """Between-move subtree carry-over: point the root at the played child
+    and keep the accumulated statistics, re-initializing only the lanes that
+    cannot reuse (reference: Tree::setBoard + NodeCache::cleanup subtree
+    carry-over, Tree.cpp:128-151, NodeCache.hpp cleanup).
+
+    `prev_move` [B] is the flat action just played from `prev_state`'s root
+    (-1 disables reuse for that lane).  `reserve` is the node budget the
+    NEXT search needs — lanes whose tree cannot fit it restart fresh (the
+    lockstep replacement for the reference's reachable-subtree compaction:
+    capacity is recycled wholesale instead of per-node).
+
+    Everything is jit-compatible; one fused NN evaluation covers the fresh
+    lanes (its cost is one leaf batch, amortized over the whole search).
+    """
+    bsz = board.shape[0]
+    b = jnp.arange(bsz)
+    fresh = init_root(
+        net_apply, variables, tables, cfg, board, stm, raw_input, noise_key
+    )
+
+    tree = prev_state.tree
+    actions = tree.edge_action[b, prev_state.root_node].astype(jnp.int32)  # [B,K]
+    hit = actions == prev_move[:, None]
+    has_slot = hit.any(-1) & (prev_move >= 0)
+    slot = jnp.argmax(hit, -1)
+    child = tree.edge_child[b, prev_state.root_node, slot].astype(jnp.int32)
+    fits = tree.node_count + jnp.int32(reserve) <= tree.capacity
+    reuse = has_slot & (child != NULL) & fits
+    child_safe = jnp.where(reuse, child, 0)
+
+    def comb(carried, fresh_arr):
+        m = reuse.reshape((bsz,) + (1,) * (carried.ndim - 1))
+        return jnp.where(m, carried, fresh_arr)
+
+    tree_c = Tree(*[comb(c, f) for c, f in zip(tree, fresh.tree)])
+    root_node = jnp.where(reuse, child, fresh.root_node)
+
+    child_actions = tree.edge_action[b, child_safe]
+    child_prior = jnp.where(
+        child_actions != NULL, tree.edge_prior[b, child_safe].astype(jnp.float32), 0.0
+    )
+    noisy_child = _apply_root_noise(cfg, child_prior, child_actions, noise_key)
+    noisy = jnp.where(reuse[:, None], noisy_child, fresh.noisy_prior)
+
+    return SearchState(
+        tree=tree_c,
+        root_board=board,
+        root_stm=stm,
+        root_node=root_node,
+        noisy_prior=noisy,
+        sims_done=jnp.zeros(bsz, jnp.int32),
+        stats=SearchStats.zeros(bsz),
     )
 
 
@@ -1108,6 +1438,7 @@ def run_search(
     raw_input: bool = True,
     noise_key: jax.Array | None = None,
     root_move_mask: jax.Array | None = None,
+    tp_params: Any = None,
 ) -> SearchState:
     """Full search: init root + `num_simulations` batched simulations under
     one lax.scan (jit the caller; everything stays on device)."""
@@ -1115,7 +1446,7 @@ def run_search(
         net_apply, variables, tables, cfg, board, stm, raw_input, noise_key,
         root_move_mask,
     )
-    simulate = make_simulate_fn(net_apply, tables, cfg, raw_input)
+    simulate = make_simulate_fn(net_apply, tables, cfg, raw_input, tp_params=tp_params)
 
     def step(s, _):
         return simulate(variables, s), None

@@ -58,6 +58,19 @@ def select(state: mcts.SearchState, policy: str = "best", key=None, temperature=
         return _pick(state, util, valid & (visits > 0))
     if policy == "max_policy":
         return _pick(state, prior, valid)
+    if policy == "lcb":
+        # lower confidence bound: conservative final pick (reference:
+        # LCBSelector + LCB op, EdgeSelector.cpp:446-470,1340-1346)
+        tree = state.tree
+        rb = jnp.arange(tree.batch)
+        n_parent = tree.node_visits[rb, state.root_node].astype(jnp.float32)
+        u = 1.25 * jnp.sqrt(
+            jnp.log(jnp.maximum(n_parent, 1.0))[:, None] / (1.0 + visits)
+        )
+        util = q - u
+        dist = S.get_distance(escore).astype(jnp.float32)
+        util = jnp.where(S.is_loss(escore), -1.0e6 + dist + prior, util)
+        return _pick(state, util, valid & (visits > 0))
     if policy == "balanced":
         # closest-to-draw evaluation among visited moves, never a proven
         # win/loss (reference: BalancedSelector for swap2/opening balance)
