@@ -35,6 +35,9 @@ class SelfplayConfig(NamedTuple):
     noise_weight: float = 0.25
     noise_alpha: float = 0.1
     max_moves: int = 128  # scan length; longer games are truncated
+    tree_reuse: bool = False  # carry the played child's subtree between
+    # moves (reference: Tree::setBoard + NodeCache::cleanup carry-over,
+    # Tree.cpp:128-151); needs mcfg.max_nodes headroom beyond one search
 
 
 class GameRecord(NamedTuple):
@@ -48,6 +51,11 @@ class GameRecord(NamedTuple):
     root_value: jax.Array  # [M, B, 2] f32
     move: jax.Array  # [M, B] int32 flat action
     alive: jax.Array  # [M, B] bool sample validity
+    phase_counters: jax.Array  # [M, 8] f32: batch-summed per-move search
+    # counters [depth_sum, expansions, transpositions, duplicates,
+    # proven_revisits, terminals, solver_wins, sims] — the lockstep
+    # counterpart of the reference's 60 s aggregated selfplay stats
+    # (reference: GeneratorManager.cpp:219-239, Search.hpp:33-54)
 
 
 class SelfplayResult(NamedTuple):
@@ -76,42 +84,69 @@ def _root_q(state: mcts.SearchState):
     return qmap.reshape(bsz, h, w, 2), mmap.reshape(bsz, h, w)
 
 
-def play_games(
+class PlayCarry(NamedTuple):
+    """Scan carry of lockstep selfplay: env + previous search (for tree
+    reuse) + the move that produced the current position."""
+
+    env: V.EnvState
+    search: mcts.SearchState
+    prev_move: jax.Array  # [B] int32, -1 before the first search
+
+
+def init_carry(
+    net_apply: Callable,
+    variables: Any,
+    tables: V.RuleTables,
+    mcfg: mcts.MCTSConfig,
+    batch: int,
+    rows: int,
+    cols: int,
+    init_env: V.EnvState | None = None,
+) -> PlayCarry:
+    """Fresh carry; `init_env` seeds games from prepared openings
+    (reference: GameGenerator PREPARE_OPENING, GameGenerator.cpp:60-75)."""
+    env = init_env if init_env is not None else V.env_reset(batch, rows, cols)
+    search = mcts.init_root(
+        net_apply, variables, tables, mcfg, env.board, env.to_move
+    )
+    return PlayCarry(env, search, jnp.full(batch, -1, jnp.int32))
+
+
+def make_move_step(
     net_apply: Callable,
     variables: Any,
     tables: V.RuleTables,
     mcfg: mcts.MCTSConfig,
     scfg: SelfplayConfig,
-    key: jax.Array,
-    batch: int,
-    rows: int,
     cols: int,
-) -> SelfplayResult:
-    """Play `batch` games in lockstep; jit the caller.
+):
+    """One selfplay move for the whole batch: (carry, (move_idx, key)) ->
+    (carry, GameRecord).  Scan-able; also the unit of chunked/resumable
+    generation."""
 
-    Finished games freeze (env_step no-ops) and their samples are marked
-    dead; the final outcome is backfilled into every sample of the game."""
-
-    env = V.env_reset(batch, rows, cols)
-    mcfg = mcfg._replace(
-        noise_weight=scfg.noise_weight, noise_alpha=scfg.noise_alpha
-    )
-
-    def move_step(carry, inp):
-        envc = carry
+    def move_step(carry: PlayCarry, inp):
+        envc = carry.env
         move_idx, k = inp
         k_noise, k_sample = jax.random.split(k)
 
-        state = mcts.run_search(
-            net_apply,
-            variables,
-            tables,
-            mcfg,
-            envc.board,
-            envc.to_move,
-            scfg.num_simulations,
-            noise_key=k_noise,
-        )
+        if scfg.tree_reuse:
+            state0 = mcts.reuse_or_init_root(
+                net_apply, variables, tables, mcfg,
+                carry.search, carry.prev_move, envc.board, envc.to_move,
+                reserve=scfg.num_simulations + 8, noise_key=k_noise,
+            )
+            simulate = mcts.make_simulate_fn(net_apply, tables, mcfg)
+            steps_n = -(-scfg.num_simulations // max(1, mcfg.leaf_batch))
+            state = jax.lax.scan(
+                lambda s, _: (simulate(variables, s), None),
+                state0, None, length=steps_n,
+            )[0]
+        else:
+            state = mcts.run_search(
+                net_apply, variables, tables, mcfg,
+                envc.board, envc.to_move, scfg.num_simulations,
+                noise_key=k_noise,
+            )
         dist = mcts.root_visit_distribution(state)
         rval = mcts.root_value(state)
         qmap, qmask = _root_q(state)
@@ -123,6 +158,15 @@ def play_games(
         move = jnp.where(move_idx < scfg.temperature_moves, move_sampled, move_greedy)
 
         alive = envc.outcome == jnp.int8(int(GameOutcome.UNKNOWN))
+        st = state.stats
+        counters = jnp.stack(
+            [
+                st.depth_sum.sum(), st.expansions.sum(),
+                st.transpositions.sum(), st.duplicates.sum(),
+                st.proven_revisits.sum(), st.terminals.sum(),
+                st.solver_wins.sum(), state.sims_done.sum(),
+            ]
+        ).astype(jnp.float32)
         sample = GameRecord(
             board=envc.board,
             stm=envc.to_move,
@@ -132,16 +176,176 @@ def play_games(
             root_value=rval,
             move=move,
             alive=alive,
+            phase_counters=counters,
         )
         newenv = V.env_step(tables, envc, move // cols, move % cols)
-        return newenv, sample
+        return PlayCarry(newenv, state, move.astype(jnp.int32)), sample
+
+    return move_step
+
+
+def play_games(
+    net_apply: Callable,
+    variables: Any,
+    tables: V.RuleTables,
+    mcfg: mcts.MCTSConfig,
+    scfg: SelfplayConfig,
+    key: jax.Array,
+    batch: int,
+    rows: int,
+    cols: int,
+    init_env: V.EnvState | None = None,
+) -> SelfplayResult:
+    """Play `batch` games in lockstep; jit the caller.
+
+    Finished games freeze (env_step no-ops) and their samples are marked
+    dead; the final outcome is backfilled into every sample of the game.
+    `init_env` seeds games from prepared openings."""
+
+    mcfg = mcfg._replace(
+        noise_weight=scfg.noise_weight, noise_alpha=scfg.noise_alpha
+    )
+    carry = init_carry(
+        net_apply, variables, tables, mcfg, batch, rows, cols, init_env
+    )
+    move_step = make_move_step(net_apply, variables, tables, mcfg, scfg, cols)
 
     keys = jax.random.split(key, scfg.max_moves)
     steps = jnp.arange(scfg.max_moves)
-    env, record = jax.lax.scan(move_step, env, (steps, keys))
+    carry, record = jax.lax.scan(move_step, carry, (steps, keys))
 
     return SelfplayResult(
-        record=record, outcome=env.outcome, game_length=env.move_count
+        record=record, outcome=carry.env.outcome, game_length=carry.env.move_count
+    )
+
+
+def play_games_resumable(
+    net_apply: Callable,
+    variables: Any,
+    tables: V.RuleTables,
+    mcfg: mcts.MCTSConfig,
+    scfg: SelfplayConfig,
+    key: jax.Array,
+    batch: int,
+    rows: int,
+    cols: int,
+    chunk_moves: int = 16,
+    should_stop: Callable[[], bool] | None = None,
+    snapshot_path: str | None = None,
+    init_env: V.EnvState | None = None,
+    on_stats: Callable[[dict], None] | None = None,
+) -> SelfplayResult | None:
+    """Chunked lockstep selfplay with mid-generation preemption snapshots.
+
+    Plays `chunk_moves` plies per jitted call and checks `should_stop`
+    between chunks; on stop, the full in-flight state (env, per-move record
+    so far, chunk cursor, RNG key) is written to `snapshot_path` and None is
+    returned.  A later call with the same arguments resumes from the
+    snapshot and deletes it on completion (reference: the SIGINT mid-game
+    serialization of every in-flight GameGenerator,
+    GameGenerator.cpp:122-141, GeneratorManager.cpp:240-291).
+
+    The search tree itself is NOT serialized — a resumed game re-searches
+    its next move from scratch (with tree_reuse the carry rebuilds over the
+    following moves), which matches the reference's resume semantics (it
+    stores the game, not the tree)."""
+    import os
+
+    import numpy as np
+
+    mcfg = mcfg._replace(
+        noise_weight=scfg.noise_weight, noise_alpha=scfg.noise_alpha
+    )
+    move_step = make_move_step(net_apply, variables, tables, mcfg, scfg, cols)
+
+    @jax.jit
+    def run_chunk(carry, steps, keys):
+        return jax.lax.scan(move_step, carry, (steps, keys))
+
+    n_chunks = -(-scfg.max_moves // chunk_moves)
+    start_chunk = 0
+    records: list = []
+    carry = None
+    if snapshot_path is not None and os.path.exists(snapshot_path):
+        snap = np.load(snapshot_path, allow_pickle=False)
+        start_chunk = int(snap["chunk"])
+        key = jnp.asarray(snap["key"])
+        env = V.EnvState(
+            board=jnp.asarray(snap["board"]),
+            to_move=jnp.asarray(snap["to_move"]),
+            outcome=jnp.asarray(snap["outcome"]),
+            move_count=jnp.asarray(snap["move_count"]),
+        )
+        carry = init_carry(
+            net_apply, variables, tables, mcfg, batch, rows, cols, env
+        )
+        if start_chunk > 0:
+            records = [
+                GameRecord(
+                    **{f: jnp.asarray(snap[f"rec_{f}"]) for f in GameRecord._fields}
+                )
+            ]
+    if carry is None:
+        carry = init_carry(
+            net_apply, variables, tables, mcfg, batch, rows, cols, init_env
+        )
+
+    all_keys = jax.random.split(key, scfg.max_moves)
+    for ci in range(start_chunk, n_chunks):
+        lo = ci * chunk_moves
+        hi = min(lo + chunk_moves, scfg.max_moves)
+        steps = jnp.arange(lo, hi)
+        carry, rec = run_chunk(carry, steps, all_keys[lo:hi])
+        records.append(rec)
+        if on_stats is not None:
+            # aggregated per-phase counters of this chunk (reference: the
+            # 60 s aggregated selfplay stats, GeneratorManager.cpp:219-239)
+            c = np.asarray(rec.phase_counters).sum(0)
+            sims = max(c[7], 1.0)
+            on_stats(
+                {
+                    "moves": int(hi),
+                    "games_live": int(
+                        np.asarray(
+                            carry.env.outcome == int(GameOutcome.UNKNOWN)
+                        ).sum()
+                    ),
+                    "avg_depth": float(c[0] / sims),
+                    "expansions": float(c[1]),
+                    "transpositions": float(c[2]),
+                    "duplicates": float(c[3]),
+                    "proven_revisits": float(c[4]),
+                    "terminals": float(c[5]),
+                    "solver_wins": float(c[6]),
+                    "sims": float(c[7]),
+                }
+            )
+        if should_stop is not None and should_stop() and hi < scfg.max_moves:
+            if snapshot_path is not None:
+                rec_all = jax.tree_util.tree_map(
+                    lambda *xs: jnp.concatenate(xs, 0), *records
+                )
+                payload = {
+                    "chunk": np.asarray(ci + 1),
+                    "key": np.asarray(key),
+                    "board": np.asarray(carry.env.board),
+                    "to_move": np.asarray(carry.env.to_move),
+                    "outcome": np.asarray(carry.env.outcome),
+                    "move_count": np.asarray(carry.env.move_count),
+                }
+                payload.update(
+                    {f"rec_{f}": np.asarray(getattr(rec_all, f)) for f in GameRecord._fields}
+                )
+                tmp = snapshot_path + ".tmp.npz"
+                np.savez_compressed(tmp, **payload)
+                os.replace(tmp, snapshot_path)
+            return None
+
+    record = jax.tree_util.tree_map(lambda *xs: jnp.concatenate(xs, 0), *records)
+    if snapshot_path is not None and os.path.exists(snapshot_path):
+        os.remove(snapshot_path)
+    return SelfplayResult(
+        record=record, outcome=carry.env.outcome, game_length=carry.env.move_count
     )
 
 

@@ -34,11 +34,17 @@ import jax.numpy as jnp
 import numpy as np
 from flax import serialization
 
-from ..game.types import GameRules
+from ..game.types import GameRules, GameOutcome, CROSS, CIRCLE
 from ..game import vectorized as V
 from ..models import create_network
 from ..search import mcts
-from ..selfplay import SelfplayConfig, play_games, make_targets
+from ..selfplay import (
+    SelfplayConfig,
+    play_games,
+    play_games_resumable,
+    make_targets,
+    generate_balanced_openings,
+)
 from ..data.replay import ReplayBuffer
 from . import train as T
 
@@ -70,6 +76,22 @@ class ManagerConfig:
     leaf_solver: str = "none"  # none | vcf | vct: per-leaf proof search in
     # selfplay searches (reference: Search::solve, Search.cpp:159-183)
     leaf_solver_steps: int = 16
+    balanced_openings: bool = True  # start selfplay/gating games from
+    # NN-balanced openings (reference: OpeningGenerator +
+    # GameGenerator PREPARE_OPENING, GameGenerator.cpp:60-75)
+    opening_stones: int = 4
+    tree_reuse: bool = False  # carry subtrees between selfplay moves
+    # (reference: Tree::setBoard reachable-subtree reuse, Tree.cpp:128-151)
+    selfplay_chunk_moves: int = 16  # plies per jitted chunk; SIGINT between
+    # chunks snapshots every in-flight game (reference: GeneratorManager
+    # mid-game state save, GeneratorManager.cpp:240-291)
+    sampler: str = "visits"  # visits | values (reference: createSampler,
+    # src/dataset/Sampler.cpp)
+    distill_from: str = ""  # optional teacher checkpoint path -> distillation
+    # training (reference: SupervisedLearning distillation, :155-230)
+    distill_architecture: str = ""  # teacher arch (defaults to `architecture`)
+    distill_blocks: int = 0
+    distill_filters: int = 0
     seed: int = 0
 
 
@@ -110,7 +132,6 @@ class TrainingManager:
         self._train_step = jax.jit(
             T.make_train_step(self.net, self.tx, self.tables, self.train_cfg)
         )
-        self._play = None  # compiled lazily (heavy)
         self._play_sims = 0
 
     # -- metadata / checkpoints -------------------------------------------
@@ -208,32 +229,19 @@ class TrainingManager:
         )
         quantum = max(1, cfg.num_simulations // 4)
         sims = max(quantum, (sims // quantum) * quantum)
-        if self._play is None or self._play_sims != sims:
-            mcfg = mcts.MCTSConfig(
-                max_nodes=sims + 8,
-                max_edges=32,
-                max_depth=32,
-                leaf_solver=cfg.leaf_solver,
-                leaf_solver_steps=cfg.leaf_solver_steps,
-            )
-            scfg = SelfplayConfig(
-                num_simulations=sims,
-                max_moves=min(cfg.rows * cfg.cols, 160),
-            )
-            self._play = jax.jit(
-                lambda v, k: play_games(
-                    self._net_apply,
-                    v,
-                    self.tables,
-                    mcfg,
-                    scfg,
-                    k,
-                    cfg.selfplay_batch,
-                    cfg.rows,
-                    cfg.cols,
-                )
-            )
-            self._play_sims = sims
+        mcfg = mcts.MCTSConfig(
+            max_nodes=(2 * sims + 8) if cfg.tree_reuse else (sims + 8),
+            max_edges=32,
+            max_depth=32,
+            leaf_solver=cfg.leaf_solver,
+            leaf_solver_steps=cfg.leaf_solver_steps,
+        )
+        scfg = SelfplayConfig(
+            num_simulations=sims,
+            max_moves=min(cfg.rows * cfg.cols, 160),
+            tree_reuse=cfg.tree_reuse,
+        )
+        self._play_sims = sims
         variables = {
             "params": self.state.params,
             "batch_stats": self.state.batch_stats,
@@ -254,7 +262,59 @@ class TrainingManager:
                     total += len(self.buffer.generations[gen_id]["stm"])
                     continue
                 key = jax.random.PRNGKey(self.rng.integers(2**31))
-                result = self._play(variables, key)
+                init_env = None
+                if cfg.balanced_openings:
+                    # NN+search-balanced openings (reference:
+                    # OpeningGenerator, GameGenerator PREPARE_OPENING)
+                    kop, key = jax.random.split(key)
+                    boards = jax.jit(
+                        lambda v, k: generate_balanced_openings(
+                            self._net_apply, v, self.tables, k,
+                            cfg.selfplay_batch, cfg.rows, cfg.cols,
+                            stones=cfg.opening_stones,
+                            raw_input=self.net.cfg.raw_input,
+                        )
+                    )(variables, kop)
+                    init_env = V.EnvState(
+                        board=boards,
+                        to_move=jnp.full(
+                            cfg.selfplay_batch,
+                            CROSS if cfg.opening_stones % 2 == 0 else CIRCLE,
+                            jnp.int8,
+                        ),
+                        outcome=jnp.full(
+                            cfg.selfplay_batch, int(GameOutcome.UNKNOWN), jnp.int8
+                        ),
+                        move_count=(boards != 0).sum((1, 2)).astype(jnp.int32),
+                    )
+                last_print = [time.time()]
+
+                def _on_stats(d, gen_id=gen_id):
+                    # periodic aggregated stats (reference: GeneratorManager
+                    # prints every 60 s, GeneratorManager.cpp:219-239)
+                    if time.time() - last_print[0] >= 60.0:
+                        print(f"selfplay[{gen_id}]: {json.dumps(d)}")
+                        last_print[0] = time.time()
+
+                result = play_games_resumable(
+                    self._net_apply,
+                    variables,
+                    self.tables,
+                    mcfg,
+                    scfg,
+                    key,
+                    cfg.selfplay_batch,
+                    cfg.rows,
+                    cfg.cols,
+                    chunk_moves=cfg.selfplay_chunk_moves,
+                    should_stop=lambda: sig.hit,
+                    snapshot_path=os.path.join(state_dir, f"midgame_{gen_id}.npz"),
+                    init_env=init_env,
+                    on_stats=_on_stats,
+                )
+                if result is None:
+                    # preempted mid-generation; the snapshot resumes next run
+                    return total
                 targets = make_targets(result, cfg.rows * cfg.cols)
                 # train/validation split (reference: splitBuffer into
                 # train_buffer/ + valid_buffer/, TrainingManager.cpp:214)
@@ -291,17 +351,47 @@ class TrainingManager:
             fh.write(json.dumps({"iteration": iteration, **self.buffer.stats()}) + "\n")
         return total
 
+    def _distill_setup(self):
+        """Lazy teacher load + jitted distillation step (reference:
+        SupervisedLearning distillation, SupervisedLearning.cpp:155-230)."""
+        if not hasattr(self, "_distill"):
+            cfg = self.cfg
+            teacher = create_network(
+                cfg.distill_architecture or cfg.architecture,
+                cfg.distill_blocks or cfg.blocks,
+                cfg.distill_filters or cfg.filters,
+            )
+            x = jnp.zeros(
+                (1, cfg.rows, cfg.cols, teacher.cfg.input_planes), jnp.float32
+            )
+            template = teacher.init(jax.random.PRNGKey(0), x, train=False)
+            with open(cfg.distill_from, "rb") as fh:
+                teacher_vars = serialization.from_bytes(template, fh.read())
+            step = jax.jit(
+                T.make_distill_step(
+                    self.net, teacher, self.tx, self.tables, self.train_cfg
+                )
+            )
+            self._distill = (step, teacher_vars)
+        return self._distill
+
     def train_iteration(self, iteration: int) -> dict:
         """(reference: runIterationSL -> SupervisedLearning::train,
         TrainingManager.cpp:226-273)"""
         cfg = self.cfg
         history = []
+        distill = self._distill_setup() if cfg.distill_from else None
         for batch_np in self.buffer.iter_batches(
-            cfg.train_batch_size, cfg.train_steps_per_iteration, self.rng
+            cfg.train_batch_size, cfg.train_steps_per_iteration, self.rng,
+            sampler=cfg.sampler,
         ):
             batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
             key = jax.random.PRNGKey(self.rng.integers(2**31))
-            self.state, parts = self._train_step(self.state, batch, key)
+            if distill is not None:
+                step, teacher_vars = distill
+                self.state, parts = step(self.state, teacher_vars, batch, key)
+            else:
+                self.state, parts = self._train_step(self.state, batch, key)
             history.append({k: float(v) for k, v in parts.items()})
         self.metadata["learning_steps"] += len(history)
         mean = {
@@ -350,9 +440,23 @@ class TrainingManager:
             "batch_stats": self.state.batch_stats,
         }
         cfg = self.cfg
-        openings = random_openings(
-            self.rng, cfg.gating_games // 2, cfg.rows, cfg.cols
-        )
+        if cfg.balanced_openings:
+            # gating replays NN-balanced openings, like reference gating
+            # (EvaluationGame uses OpeningGenerator openings)
+            stones = cfg.opening_stones + (cfg.opening_stones % 2)  # even
+            openings = np.asarray(
+                jax.jit(
+                    lambda v, k: generate_balanced_openings(
+                        self._net_apply, v, self.tables, k,
+                        cfg.gating_games // 2, cfg.rows, cfg.cols,
+                        stones=stones, raw_input=self.net.cfg.raw_input,
+                    )
+                )(last_vars, jax.random.PRNGKey(self.rng.integers(2**31)))
+            )
+        else:
+            openings = random_openings(
+                self.rng, cfg.gating_games // 2, cfg.rows, cfg.cols
+            )
         result = play_match(
             self._net_apply,
             last_vars,
@@ -378,6 +482,7 @@ class TrainingManager:
                         "score": result.score_a,
                         "elo": result.elo_a,
                         "pentanomial": result.pentanomial.tolist(),
+                        "truncated": result.truncated,
                         "promoted": bool(promoted),
                     }
                 )
