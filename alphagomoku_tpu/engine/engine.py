@@ -35,6 +35,8 @@ class SearchSummary(NamedTuple):
     time_used: float
     principal_variation: list[Move]
     proven: str  # "", "WIN", "LOSS", "DRAW"
+    stats: dict | None = None  # per-phase counters (reference: SearchStats
+    # printed by SearchEngine::logSearchInfo, Search.hpp:33-54)
 
 
 class Engine:
@@ -54,6 +56,8 @@ class Engine:
         seed: int = 0,
         leaf_solver: str = "vct",
         leaf_solver_steps: int = 16,
+        max_memory: int | None = None,
+        max_depth: int | None = None,
     ):
         self.rules = rules
         self.rows, self.cols = rows, cols
@@ -68,9 +72,17 @@ class Engine:
                 self.variables = serialization.from_bytes(self.variables, fh.read())
         self.moves: list[Move] = []
         # capacity 3x the per-move budget leaves headroom to carry the
-        # subtree across moves (reference: NodeCache tree reuse)
+        # subtree across moves (reference: NodeCache tree reuse); an engine
+        # memory budget caps it (reference: EngineSettings max_memory ->
+        # tree/cache size, EngineSettings.hpp:58)
+        capacity = 3 * simulations + 8
+        if max_memory is not None and max_memory > 0:
+            k = 32
+            bytes_per_node = 27 + k * 22  # struct-of-arrays row footprint
+            capacity = max(64, min(capacity, max_memory // bytes_per_node))
         self._mcfg = mcts.MCTSConfig(
-            max_nodes=3 * simulations + 8, max_edges=32, max_depth=40,
+            max_nodes=capacity, max_edges=32,
+            max_depth=min(40, max_depth) if max_depth else 40,
             leaf_solver=leaf_solver, leaf_solver_steps=leaf_solver_steps,
         )
         self._last_state: mcts.SearchState | None = None
@@ -246,6 +258,7 @@ class Engine:
             root_node=jnp.full((1,), node, jnp.int32),
             noisy_prior=jnp.asarray(tree.edge_prior[0:1, node]).astype(jnp.float32),
             sims_done=jnp.zeros(1, jnp.int32),
+            stats=mcts.SearchStats.zeros(1),
         )
 
     def _summarize(
@@ -267,6 +280,7 @@ class Engine:
             "visits": np.asarray(tree.edge_visits[0, root]),
             "vsum": np.asarray(tree.edge_value_sum[0, root]),
             "prior": np.asarray(tree.edge_prior[0, root].astype(jnp.float32)),
+            "escore": np.asarray(tree.edge_score[0, root]),
         }
         move_flat = int(np.asarray(selectors.select(state, selector))[0])
         r, c = move_flat // self.cols, move_flat % self.cols
@@ -289,6 +303,7 @@ class Engine:
             time_used=dt,
             principal_variation=pv,
             proven=proven,
+            stats=state.stats.summary(state.sims_done),
         )
 
     def _principal_variation(
@@ -354,7 +369,50 @@ class Engine:
             lines.extend(rows)
         if summary.principal_variation:
             lines.append("pv: " + " ".join(m.text() for m in summary.principal_variation))
+        if summary.stats:
+            s = summary.stats
+            lines.append(
+                "stats: depth {avg_depth:.1f}  expand {expansions:.0f}  "
+                "transp {transpositions:.0f}  dup {duplicates:.0f}  "
+                "proven {proven_revisits:.0f}  term {terminals:.0f}  "
+                "solver {solver_wins:.0f}".format(**s)
+            )
         return "\n".join(lines)
+
+    def realtime_snapshot(self) -> dict | None:
+        """Root-edge snapshot for the YixinBoard realtime analysis stream:
+        the considered moves, the proven-loss moves, and the LCB-selected
+        best (reference: YixinBoardProtocol::process_realtime_info,
+        YixinBoardProtocol.cpp:758-795 — LCBSelector at c=0.2)."""
+        root = getattr(self, "_last_root", None)
+        if root is None:
+            return None
+        actions = root["actions"].astype(np.int32)
+        valid = actions >= 0
+        if not valid.any():
+            return None
+        visits = root["visits"].astype(np.float64)
+        q = np.where(
+            visits > 0,
+            (root["vsum"][:, 0] + 0.5 * root["vsum"][:, 1]) / np.maximum(visits, 1.0),
+            0.0,
+        )
+        escore = root["escore"].astype(np.uint16)
+        # packed ProvenValue LOSS, excluding the +-inf sentinels
+        is_loss = ((escore >> 13) == 0) & (escore != 0x0000) & (escore != 0xFFFF)
+        n_parent = max(visits.sum(), 1.0)
+        lcb = q - 0.2 * np.sqrt(np.log(n_parent) / (1.0 + visits))
+        lcb = np.where(is_loss, -1e6, lcb)
+        lcb = np.where(valid & (visits > 0), lcb, -np.inf)
+        best = int(actions[int(np.argmax(lcb))]) if np.isfinite(lcb).any() else int(
+            actions[np.argmax(np.where(valid, visits, -1))]
+        )
+        to_rc = lambda a: (int(a) // self.cols, int(a) % self.cols)
+        return {
+            "edges": [to_rc(a) for a in actions[valid]],
+            "losing": [to_rc(a) for a in actions[valid & is_loss]],
+            "best": to_rc(best),
+        }
 
     def forbidden_moves(self) -> list[Move]:
         """Renju forbidden cells of the current position (for SHOWFORBID,

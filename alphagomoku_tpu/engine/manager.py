@@ -72,6 +72,23 @@ class ProgramManager:
             "time_for_match": "120000",
             "time_left": "120000",
             "protocol_lag": "150",
+            # (reference: EngineSettings defaults, EngineSettings.hpp:48-63)
+            "max_memory": str(256 * 1024 * 1024),
+            "max_depth": "0",
+            "max_nodes": "0",
+            "auto_pondering": "0",
+            "time_for_pondering": "0",
+            "analysis_mode": "0",
+            # `style` is accepted and unused — the reference accepts the
+            # option but EngineSettings has no consumer for it either
+            "style": "0",
+            # per-rule network checkpoint paths (reference: path_to_conv_
+            # networks rewritten per rule, ProgramManager.cpp:405-417)
+            "network_freestyle": "",
+            "network_standard": "",
+            "network_renju": "",
+            "network_caro5": "",
+            "network_caro6": "",
         }
         self._arch = architecture
         self._blocks = blocks
@@ -97,25 +114,38 @@ class ProgramManager:
         """(reference: ProgramManager::setup_engine, rebuild on option
         change, ProgramManager.cpp:478-495)"""
         if self.engine is None:
+            rules = GameRules.from_string(self.options["rules"])
+            # per-rule network path override (reference: network paths
+            # rewritten per rule, ProgramManager.cpp:405-417)
+            per_rule = self.options.get(f"network_{rules.name.lower()}", "")
+            checkpoint = per_rule or self._checkpoint
+            max_memory = int(float(self.options.get("max_memory", "0") or 0))
+            max_depth = int(self.options.get("max_depth", "0") or 0)
             self.engine = Engine(
-                rules=GameRules.from_string(self.options["rules"]),
+                rules=rules,
                 rows=int(self.options["rows"]),
                 cols=int(self.options["columns"]),
                 architecture=self._arch,
                 blocks=self._blocks,
                 filters=self._filters,
-                checkpoint=self._checkpoint,
+                checkpoint=checkpoint or None,
                 simulations=self._simulations,
                 leaf_solver=self._leaf_solver,
                 leaf_solver_steps=self._leaf_solver_steps,
+                max_memory=max_memory if max_memory > 0 else None,
+                max_depth=max_depth if max_depth > 0 else None,
             )
         return self.engine
 
     def _set_option(self, name: str, value: str) -> None:
         old = self.options.get(name)
         self.options[name] = value
-        if name in ("rows", "columns", "rules") and old != value:
+        realloc = ("rows", "columns", "rules", "max_memory", "max_depth",
+                   "network_freestyle", "network_standard", "network_renju",
+                   "network_caro5", "network_caro6")
+        if name in realloc and old != value:
             self.engine = None  # reallocate on next search
+            # (reference: SetOptionOutcome REALLOCATE_ENGINE)
 
     # -- search dispatch ---------------------------------------------------
 
@@ -147,7 +177,26 @@ class ProgramManager:
                     engine.sim_chunk, int(self.options["max_nodes"])
                 )
             self.time_manager.start_timer()
-            summary = engine.search(self._time_budget_s(), max_simulations=max_sims)
+            rt_seq = [0]
+
+            def rt_chunk(_summary):
+                # realtime analysis stream during the search (reference:
+                # YixinBoard REALTIME POS/DONE/LOSE/BEST every 100 ms,
+                # YixinBoardProtocol.cpp:714-795); protocols without a
+                # REALTIME_INFO processor drop these messages
+                snap = engine.realtime_snapshot()
+                if snap is not None:
+                    snap["seq"] = rt_seq[0]
+                    rt_seq[0] += 1
+                    self.output_queue.push(
+                        Message(MessageType.REALTIME_INFO, snap)
+                    )
+                    self.protocol.process_output(self.sender)
+
+            summary = engine.search(
+                self._time_budget_s(), max_simulations=max_sims,
+                on_chunk=rt_chunk,
+            )
             self.time_manager.stop_timer()
             from ..utils.logger import log
 
@@ -163,6 +212,14 @@ class ProgramManager:
                 )
             )
             self.output_queue.push(Message(MessageType.BEST_MOVE, summary.best_move))
+            if (
+                self.options.get("auto_pondering", "0") == "1"
+                and self.options.get("analysis_mode", "0") != "1"
+            ):
+                # think on the opponent's time after answering (reference:
+                # MatchController auto-ponder, MatchController.cpp:55-77)
+                engine.make_move(summary.best_move)
+                self._start_search("ponder")
         elif mode == "showforbid":
             forbidden = engine.forbidden_moves()
             text = " ".join(f"{m.row},{m.col}" for m in forbidden)
@@ -176,6 +233,8 @@ class ProgramManager:
             self._stop_background_search()
 
             def run_bg():
+                rt_seq = [0]
+
                 def emit(summary):
                     self.output_queue.push(
                         Message(
@@ -187,9 +246,22 @@ class ProgramManager:
                             ),
                         )
                     )
+                    snap = engine.realtime_snapshot()
+                    if snap is not None:
+                        snap["seq"] = rt_seq[0]
+                        rt_seq[0] += 1
+                        self.output_queue.push(
+                            Message(MessageType.REALTIME_INFO, snap)
+                        )
 
+                ponder_ms = float(self.options.get("time_for_pondering", "0") or 0)
+                budget = (
+                    ponder_ms / 1000.0
+                    if (mode == "ponder" and ponder_ms > 0)
+                    else 3600.0
+                )  # (reference: EngineSettings time_for_pondering)
                 engine.search(
-                    time_budget=3600.0,
+                    time_budget=budget,
                     on_chunk=emit if mode == "analyze" else None,
                     max_simulations=1 << 22,
                 )

@@ -37,6 +37,9 @@ class MessageType(enum.Enum):
     INFO_MESSAGE = "info_message"
     ABOUT_ENGINE = "about_engine"
     BEST_MOVE = "best_move"
+    REALTIME_INFO = "realtime_info"  # periodic root-edge snapshot during a
+    # search (reference: YixinBoard REALTIME POS/DONE/LOSE/BEST stream,
+    # YixinBoardProtocol.cpp:758-795); protocols without a processor drop it
 
 
 @dataclasses.dataclass

@@ -27,6 +27,13 @@ from .protocol import (
 class YixinBoardProtocol(GomocupProtocol):
     def __init__(self, input_queue: MessageQueue, output_queue: MessageQueue):
         super().__init__(input_queue, output_queue)
+        # realtime analysis stream state (reference:
+        # YixinBoardProtocol.cpp:714-795: REFRESH + POS/DONE on the first
+        # info of a search, LOSE on newly proven losses, BEST on change)
+        self.show_realtime_info = False
+        self._rt_losing: set[tuple[int, int]] = set()
+        self._rt_best: tuple[int, int] | None = None
+        self.register_output(MessageType.REALTIME_INFO, self._out_realtime)
         for name, opt in (
             ("info max_depth", "max_depth"),
             ("info max_node", "max_nodes"),
@@ -38,10 +45,11 @@ class YixinBoardProtocol(GomocupProtocol):
             ("info nbest_sym", "nbest_sym"),
             ("info checkmate", "checkmate"),
             ("info thread_split_depth", "thread_split_depth"),
-            ("info show_detail", "show_detail"),
+            # show_detail handled below: it also arms the realtime stream
             ("info usedatabase", "use_database"),
         ):
             self.register_input(name, self._make_info_option(name, opt))
+        self.register_input("info show_detail", self._in_show_detail)
         self.register_input("yxboard", self._in_yxboard)
         self.register_input("yxstop", self._in_yxstop)
         self.register_input("yxshowforbid", self._in_yxshowforbid)
@@ -89,6 +97,41 @@ class YixinBoardProtocol(GomocupProtocol):
             )
 
         return fn
+
+    # -- realtime analysis stream -------------------------------------------
+
+    def _in_show_detail(self, listener: InputListener) -> None:
+        value = self._extract_data(listener, "info show_detail")
+        self.show_realtime_info = value.strip() == "1"
+        self.input_queue.push(
+            Message(MessageType.SET_OPTION, ("show_detail", value))
+        )
+
+    def _out_realtime(self, sender: OutputSender) -> None:
+        """MESSAGE REALTIME REFRESH/POS/DONE/LOSE/BEST stream (reference:
+        YixinBoardProtocol::process_realtime_info, :758-795)."""
+        msg = self.output_queue.pop()
+        snap = msg.data
+        if not self.show_realtime_info or not snap:
+            return
+        fmt = lambda rc: f"{rc[0]},{rc[1]}"
+        if snap.get("seq", 0) == 0:
+            # new search: refresh the considered-move display
+            self._rt_losing = set()
+            self._rt_best = None
+            sender.send("MESSAGE REALTIME REFRESH")
+            for rc in snap["edges"]:
+                sender.send("MESSAGE REALTIME POS " + fmt(tuple(rc)))
+                sender.send("MESSAGE REALTIME DONE " + fmt(tuple(rc)))
+        for rc in snap["losing"]:
+            rc = tuple(rc)
+            if rc not in self._rt_losing:
+                sender.send("MESSAGE REALTIME LOSE " + fmt(rc))
+                self._rt_losing.add(rc)
+        best = tuple(snap["best"]) if snap.get("best") is not None else None
+        if best is not None and best != self._rt_best:
+            sender.send("MESSAGE REALTIME BEST " + fmt(best))
+            self._rt_best = best
 
     # -- command handlers --------------------------------------------------
 

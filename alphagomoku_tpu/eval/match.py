@@ -34,6 +34,7 @@ class MatchResult(NamedTuple):
     score_a: float  # A's match score in [0, 1]
     elo_a: float  # Elo of A vs B
     game_lengths: np.ndarray  # [2G]
+    truncated: int = 0  # games cut at max_moves and scored as draws
 
 
 def random_openings(
@@ -143,7 +144,19 @@ def play_match(
         penta[p] += 1
         total += p
     score = total / (4.0 * g)
-    return MatchResult(outcomes, penta, score, elo_from_winrate(score), lengths)
+    truncated = int((outcomes == int(GameOutcome.UNKNOWN)).sum())
+    if truncated:
+        # systematic non-termination must be visible, not silently scored
+        # as draws (the reference adjudicates by outcome only)
+        import logging
+
+        logging.getLogger("alphagomoku_tpu.match").warning(
+            "%d/%d games truncated at max_moves=%d (scored as draws)",
+            truncated, 2 * g, max_moves,
+        )
+    return MatchResult(
+        outcomes, penta, score, elo_from_winrate(score), lengths, truncated
+    )
 
 
 def elo_from_winrate(winrate: float) -> float:
