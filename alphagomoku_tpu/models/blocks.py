@@ -15,6 +15,7 @@ from __future__ import annotations
 
 from typing import Any
 
+import jax
 import jax.numpy as jnp
 from flax import linen as nn
 
@@ -223,3 +224,112 @@ class MovesLeftHead(nn.Module):
         m = nn.relu(m)
         m = nn.Dense(self.buckets, dtype=self.dtype)(m)
         return m.astype(jnp.float32)
+
+
+def space_to_depth(x, block: int = 2):
+    """[B,H,W,C] -> [B,ceil(H/b),ceil(W/b),b*b*C] with zero padding
+    (reference: ml::SpaceToDepth used by the Unet trunks,
+    networks.cpp:770-780)."""
+    b, h, w, c = x.shape
+    ph, pw = (-h) % block, (-w) % block
+    if ph or pw:
+        x = jnp.pad(x, ((0, 0), (0, ph), (0, pw), (0, 0)))
+    h2, w2 = (h + ph) // block, (w + pw) // block
+    x = x.reshape(b, h2, block, w2, block, c)
+    return x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h2, w2, block * block * c)
+
+
+def depth_to_space(x, block: int, out_hw: tuple[int, int]):
+    """Inverse of space_to_depth, cropped to `out_hw`
+    (reference: ml::DepthToSpace(2, {h, w}))."""
+    b, h2, w2, cc = x.shape
+    c = cc // (block * block)
+    x = x.reshape(b, h2, w2, block, block, c)
+    x = x.transpose(0, 1, 3, 2, 4, 5).reshape(b, h2 * block, w2 * block, c)
+    return x[:, : out_hw[0], : out_hw[1], :]
+
+
+class UnetTrunk(nn.Module):
+    """3-level U-Net trunk over the board: residual conv groups at full,
+    1/2 and 1/4 resolution with space-to-depth down/up sampling and skip
+    adds (reference: ConvUnet::create_network, networks.cpp:749-830).
+    `bottleneck="transformer"` uses attention blocks at the coarsest level
+    (reference: TransformerUnet, networks.cpp:846-920)."""
+
+    filters: int
+    bottleneck: str = "conv"  # conv | transformer
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        emb = self.filters
+        h, w = x.shape[1], x.shape[2]
+
+        def group(x, f, n):
+            y = x
+            for _ in range(n):
+                y = ConvBN(f, 3, nn.relu, self.dtype)(y, train)
+            return x + y
+
+        level0 = group(x, emb, 3)
+        x = space_to_depth(level0, 2)
+        x = ConvBN(2 * emb, 1, nn.relu, self.dtype)(x, train)
+        level1 = group(x, 2 * emb, 3)
+        x = space_to_depth(level1, 2)
+        x = ConvBN(4 * emb, 1, nn.relu, self.dtype)(x, train)
+        if self.bottleneck == "transformer":
+            x = TransformerBlock(4 * emb, dtype=self.dtype)(x, train)
+            x = TransformerBlock(4 * emb, dtype=self.dtype)(x, train)
+        else:
+            x = group(x, 4 * emb, 2)
+            x = group(x, 4 * emb, 2)
+        x = depth_to_space(x, 2, (level1.shape[1], level1.shape[2]))
+        x = ConvBN(2 * emb, 1, nn.relu, self.dtype)(x, train)
+        x = group(x + level1, 2 * emb, 3)
+        x = depth_to_space(x, 2, (h, w))
+        x = ConvBN(emb, 1, nn.relu, self.dtype)(x, train)
+        return group(x + level0, emb, 3)
+
+
+class MoEConvNextBlock(nn.Module):
+    """ConvNext block whose pointwise MLP is a token-choice mixture of
+    experts (reference: ConvNextMoE_PVQMraw last block,
+    networks.cpp:1334-1369: Router(TOKEN_CHOICE) + MixtureOfExperts pair).
+
+    TPU-native re-design: instead of gather/scatter token routing (serial
+    on TPU), every expert runs densely and a hard top-1 gate (weighted by
+    its routing probability, straight-through at train time) selects per
+    cell — identical selection semantics, no capacity dropping."""
+
+    filters: int
+    experts: int = 4
+    dtype: Any = jnp.bfloat16
+
+    @nn.compact
+    def __call__(self, x, train: bool = False):
+        y = nn.Conv(
+            self.filters,
+            (7, 7),
+            feature_group_count=self.filters,
+            use_bias=False,
+            dtype=self.dtype,
+        )(x)
+        y = nn.BatchNorm(use_running_average=not train, dtype=self.dtype)(y)
+        x = y + x
+
+        router_logits = nn.Conv(
+            self.experts, (1, 1), use_bias=False, dtype=self.dtype
+        )(x).astype(jnp.float32)
+        probs = jax.nn.softmax(router_logits, axis=-1)  # [B,H,W,E]
+        top = jax.nn.one_hot(
+            jnp.argmax(probs, axis=-1), self.experts, dtype=probs.dtype
+        )
+        gate = (probs * top).astype(self.dtype)  # hard top-1, prob-weighted
+
+        out = 0.0
+        for e in range(self.experts):
+            he = nn.relu(nn.Conv(self.filters, (1, 1), dtype=self.dtype)(x))
+            oe = nn.Conv(self.filters, (1, 1), use_bias=False, dtype=self.dtype)(he)
+            out = out + oe * gate[..., e : e + 1]
+        x = out + x
+        return SqueezeExcitation(self.filters, self.dtype)(x)

@@ -70,18 +70,34 @@ class AGNetwork(nn.Module):
         # input block (reference: blocks.cpp:32-38 conv5x5 + BN-relu)
         x = B.ConvBN(cfg.filters, cfg.input_kernel, nn.relu, cfg.dtype)(x, train)
 
-        for _ in range(cfg.blocks):
-            if cfg.trunk == "resnet":
-                x = B.ResidualBlock(cfg.filters, cfg.dtype)(x, train)
-            elif cfg.trunk.startswith("bottleneck"):
-                v = int(cfg.trunk[-1])
-                x = B.BottleneckBlock(cfg.filters, v, cfg.dtype)(x, train)
-            elif cfg.trunk == "convnext":
-                x = B.ConvNextBlock(cfg.filters, cfg.dtype)(x, train)
-            elif cfg.trunk == "transformer":
-                x = B.TransformerBlock(cfg.filters, dtype=cfg.dtype)(x, train)
-            else:
-                raise ValueError(f"unknown trunk {cfg.trunk}")
+        if cfg.trunk in ("unet", "unet_transformer"):
+            # fixed 3-level structure: cfg.blocks does not apply
+            # (reference: ConvUnet/TransformerUnet, networks.cpp:749-920)
+            x = B.UnetTrunk(
+                cfg.filters,
+                bottleneck="transformer" if cfg.trunk.endswith("transformer") else "conv",
+                dtype=cfg.dtype,
+            )(x, train)
+        else:
+            for i in range(cfg.blocks):
+                if cfg.trunk == "resnet":
+                    x = B.ResidualBlock(cfg.filters, cfg.dtype)(x, train)
+                elif cfg.trunk.startswith("bottleneck"):
+                    v = int(cfg.trunk[-1])
+                    x = B.BottleneckBlock(cfg.filters, v, cfg.dtype)(x, train)
+                elif cfg.trunk == "convnext_moe":
+                    # the reference puts the MoE in the LAST block only
+                    # (ConvNextMoE_PVQMraw, networks.cpp:1334-1369)
+                    if i == cfg.blocks - 1:
+                        x = B.MoEConvNextBlock(cfg.filters, dtype=cfg.dtype)(x, train)
+                    else:
+                        x = B.ConvNextBlock(cfg.filters, cfg.dtype)(x, train)
+                elif cfg.trunk == "convnext":
+                    x = B.ConvNextBlock(cfg.filters, cfg.dtype)(x, train)
+                elif cfg.trunk == "transformer":
+                    x = B.TransformerBlock(cfg.filters, dtype=cfg.dtype)(x, train)
+                else:
+                    raise ValueError(f"unknown trunk {cfg.trunk}")
 
         pk = 1 if cfg.trunk == "convnext" else 3
         policy = B.PolicyHead(cfg.filters, pk, cfg.dtype)(x, train)
@@ -122,8 +138,12 @@ _REGISTRY: dict[str, dict] = {
     # bottleneck family (reference: networks.cpp:174-357, 920-1010)
     "BottleneckPV": dict(trunk="bottleneck_v2", heads="pv", raw_input=False),
     "BottleneckPVraw": dict(trunk="bottleneck_v2", heads="pv", raw_input=True),
-    "BottleneckBroadcastPVraw": dict(trunk="bottleneck_v2", heads="pv", raw_input=True),
-    "BottleneckPoolingPVraw": dict(trunk="bottleneck_v2", heads="pv", raw_input=True),
+    # Broadcast/Pooling variants: in the REFERENCE these are bottleneck_v3
+    # trunks whose broadcast block is commented out and whose pooling block
+    # is a no-op (blocks.cpp:40-43, networks.cpp:254-310) — the v3 trunk IS
+    # the whole difference, faithfully reproduced here
+    "BottleneckBroadcastPVraw": dict(trunk="bottleneck_v3", heads="pv", raw_input=True),
+    "BottleneckPoolingPVraw": dict(trunk="bottleneck_v3", heads="pv", raw_input=True),
     "BottleneckPVQ": dict(trunk="bottleneck_v2", heads="pvq", raw_input=False),
     "BottleneckPVUM": dict(trunk="bottleneck_v2", heads="pvm", raw_input=False),
     # convnext family (reference: networks.cpp:1012-1440)
@@ -131,12 +151,15 @@ _REGISTRY: dict[str, dict] = {
     "ConvNextPVQraw": dict(trunk="convnext", heads="pvq", raw_input=True),
     "ConvNextPVQMraw": dict(trunk="convnext", heads="pvqm", raw_input=True),
     "ConvNextPVQMSraw": dict(trunk="convnext", heads="pvqms", raw_input=True),
-    # transformer family (reference: networks.cpp:571-920 Transformer_v2 /
-    # TransformerUnet; windowed attention approximated by full attention
-    # over the <=400 board tokens)
+    "ConvNextMoE_PVQMraw": dict(trunk="convnext_moe", heads="pvqm", raw_input=True),
+    # transformer family (reference: networks.cpp:571-920 Transformer_v2;
+    # windowed attention approximated by full attention over the <=400
+    # board tokens)
     "Transformer_v2": dict(trunk="transformer", heads="pvqm", raw_input=False),
-    "TransformerUnet": dict(trunk="transformer", heads="pvqm", raw_input=False),
-    "ConvUnet": dict(trunk="convnext", heads="pvqm", raw_input=False),
+    # U-net family: 3-level space-to-depth trunks with skip adds
+    # (reference: ConvUnet networks.cpp:749-830, TransformerUnet :846-920)
+    "TransformerUnet": dict(trunk="unet_transformer", heads="pv", raw_input=False),
+    "ConvUnet": dict(trunk="unet", heads="pv", raw_input=False),
     # small fast nets for openings/solver assistance
     "FastNetwork": dict(trunk="resnet", heads="pv", raw_input=True, blocks=2, filters=32),
     "FastPolicy": dict(trunk="resnet", heads="pv", raw_input=True, blocks=2, filters=32),

@@ -26,31 +26,59 @@ from flax import linen as nn
 
 U = np.uint32
 
-# threat-summary feature layout: for each player (own, opp):
-#   counts of: open3, half-open4 (any dir), open4, double4, five, overline
-#   + stone count; plus global: empty count, side-to-move plane bit
-NUM_FEATURES = 2 * 7 + 2
+# per-cell feature layout, exactly the reference's (NNUE.cpp:134-155):
+# 16 features per cell: cross ThreatType one-hot OPEN_3..FIVE at [0..6],
+# circle at [7..13], stone one-hot (cross, circle) at [14..15];
+# plus one leading side-to-move feature.
+CELL_FEATURES = 16
 
 
-def threat_features(packed: jax.Array) -> jax.Array:
-    """[B, H, W] packed feature map -> [B, NUM_FEATURES] f32 counts
-    (reference featurization: per-row one-hot of threats + stones,
-    NNUE.cpp:134-155 — summarized board-wide here)."""
-    feats = []
-    for base in (8, 20):  # own group, opp group
-        g = (packed >> U(base)) & U(0xFFF)
-        feats.append((((g >> U(0)) & U(0xF)) != 0).sum((1, 2)))  # open3 any dir
-        feats.append((((g >> U(4)) & U(0xF)) != 0).sum((1, 2)))  # ho4 any dir
-        feats.append((((g >> U(8)) & 1) == 1).sum((1, 2)))  # open4
-        feats.append((((g >> U(9)) & 1) == 1).sum((1, 2)))  # double4
-        feats.append((((g >> U(10)) & 1) == 1).sum((1, 2)))  # five
-        feats.append((((g >> U(11)) & 1) == 1).sum((1, 2)))  # overline
-    feats.append((((packed >> U(1)) & 1) == 1).sum((1, 2)))  # own stones
-    feats.append((((packed >> U(2)) & 1) == 1).sum((1, 2)))  # opp stones
-    feats.append(((packed & 1) == 1).sum((1, 2)))  # empty/legal
-    feats.append((((packed >> U(4)) & 1) == 1).sum((1, 2)))  # cross to move
-    out = jnp.stack(feats, -1).astype(jnp.float32)
-    return out / 16.0  # keep magnitudes quantization-friendly
+def num_features(rows: int, cols: int) -> int:
+    return 1 + rows * cols * CELL_FEATURES
+
+
+def nnue_features(tables, board: jax.Array, stm: jax.Array) -> jax.Array:
+    """[B, H, W] board + [B] side-to-move -> [B, 1 + H*W*16] f32, the
+    reference featurization (NNUE.cpp:134-155: feature[0] = cross to move,
+    then per cell one-hots of each player's ThreatType in OPEN_3..FIVE and
+    the stone).  Computed batched via the gather-free bitwise classifier
+    (the reference walks its incremental ThreatHistogram instead)."""
+    from ..game.types import CROSS, CIRCLE, GameRules
+    from ..game import vectorized as V
+    from ..patterns import bitwise
+    from ..patterns import tables as T
+
+    board = jnp.asarray(board)
+    bsz, h, w = board.shape
+    wins = jnp.moveaxis(V.windows_all(board), 1, -1)  # [B, H, W, 4]
+    pts_cross, pts_circle = bitwise.classify(wins, GameRules(tables.rules))
+    false_ = jnp.zeros((bsz, h, w), bool)
+    tt_cross = V.threat_type(tables, pts_cross, false_)
+    tt_circle = V.threat_type(tables, pts_circle, jnp.ones((bsz, h, w), bool))
+
+    empty = board == 0
+
+    def one_hot_threats(tt):
+        # ThreatType codes OPEN_3(2)..FIVE(8) -> one-hot [..., 7]; only
+        # EMPTY cells carry threats, matching the reference's
+        # ThreatHistogram spot lists (reference: "tt - 2" indexing over
+        # histogram locations, NNUE.cpp:141-150)
+        idx = tt - T.TT_OPEN_3
+        oh = jax.nn.one_hot(jnp.clip(idx, 0, 6), 7, dtype=jnp.float32)
+        valid = (idx >= 0) & (idx <= 6) & empty
+        return oh * valid[..., None].astype(jnp.float32)
+
+    cell = jnp.concatenate(
+        [
+            one_hot_threats(tt_cross),
+            one_hot_threats(tt_circle),
+            (board == CROSS)[..., None].astype(jnp.float32),
+            (board == CIRCLE)[..., None].astype(jnp.float32),
+        ],
+        axis=-1,
+    )  # [B, H, W, 16]
+    lead = (jnp.asarray(stm) == CROSS).astype(jnp.float32)[:, None]
+    return jnp.concatenate([lead, cell.reshape(bsz, h * w * CELL_FEATURES)], 1)
 
 
 class NNUEModel(nn.Module):
@@ -121,9 +149,9 @@ def quantized_apply(q: QuantizedNNUE, feats: jax.Array) -> jax.Array:
     return x @ jnp.asarray(q.w2) + jnp.asarray(q.b2)
 
 
-def evaluate_packed(q: QuantizedNNUE, packed: jax.Array) -> jax.Array:
-    """Packed feature map [B, H, W] -> (win, draw) value pairs [B, 2]."""
-    wdl = jax.nn.softmax(quantized_apply(q, threat_features(packed)), -1)
+def evaluate_features(q: QuantizedNNUE, feats: jax.Array) -> jax.Array:
+    """Feature rows [B, F] (from nnue_features) -> (win, draw) pairs [B, 2]."""
+    wdl = jax.nn.softmax(quantized_apply(q, feats), -1)
     return jnp.stack([wdl[..., 0], wdl[..., 1]], -1)
 
 
@@ -160,3 +188,21 @@ def train_nnue(
     for _ in range(steps):
         params, opt, loss = step(params, opt)
     return {"params": params}, float(loss)
+
+
+def train_from_replay(
+    tables,
+    boards: jax.Array,
+    stm: jax.Array,
+    value_wdl: jax.Array,
+    steps: int = 500,
+    hidden: int = 32,
+    lr: float = 1e-2,
+    seed: int = 0,
+) -> tuple[QuantizedNNUE, float]:
+    """Fit + quantize an NNUE on replay positions (reference: TrainingNNUE
+    trained on game positions then dumped to quantized weights,
+    NNUE.cpp:100-230).  Returns (quantized net, final loss)."""
+    feats = nnue_features(tables, boards, stm)
+    variables, loss = train_nnue(feats, value_wdl, steps, hidden, lr, seed)
+    return quantize(variables), loss

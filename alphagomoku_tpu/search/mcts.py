@@ -545,6 +545,8 @@ def make_simulate_fn(
     raw_input: bool = True,
     profile_cutoff: str | None = None,
     tp_params: Any = None,
+    nnue: Any = None,
+    nnue_weight: float = 0.5,
 ):
     """Build the jittable one-step simulation batch: (variables, state) ->
     state, advancing every tree by `cfg.leaf_batch` simulations.
@@ -726,6 +728,16 @@ def make_simulate_fn(
         policy_f, value_f, q_expect_f, moves_left_f, legal_f, packed_f = _evaluate(
             net_apply, variables, tables, boards_f, stm_f, raw_input, sym_f
         )
+        if nnue is not None:
+            # blend the quantized NNUE evaluation into leaf values
+            # (reference: the optional NNUE evaluation hooks inside the
+            # solver, AlphaBetaSearch.hpp:57,62 — shipped off by default)
+            from ..models import nnue as _nnue
+
+            v_nnue = _nnue.evaluate_features(
+                nnue, _nnue.nnue_features(tables, boards_f, stm_f)
+            )
+            value_f = (1.0 - nnue_weight) * value_f + nnue_weight * v_nnue
         value_f = jnp.where(
             terminal_f[:, None], S.convert_to_value(term_score_f), value_f
         )
@@ -1439,6 +1451,7 @@ def run_search(
     noise_key: jax.Array | None = None,
     root_move_mask: jax.Array | None = None,
     tp_params: Any = None,
+    nnue: Any = None,
 ) -> SearchState:
     """Full search: init root + `num_simulations` batched simulations under
     one lax.scan (jit the caller; everything stays on device)."""
@@ -1446,7 +1459,9 @@ def run_search(
         net_apply, variables, tables, cfg, board, stm, raw_input, noise_key,
         root_move_mask,
     )
-    simulate = make_simulate_fn(net_apply, tables, cfg, raw_input, tp_params=tp_params)
+    simulate = make_simulate_fn(
+        net_apply, tables, cfg, raw_input, tp_params=tp_params, nnue=nnue
+    )
 
     def step(s, _):
         return simulate(variables, s), None
