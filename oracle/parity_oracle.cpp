@@ -22,6 +22,9 @@
 #include <alphagomoku/patterns/PatternCalculator.hpp>
 #include <alphagomoku/utils/configs.hpp>
 #include <alphagomoku/utils/matrix.hpp>
+#include <alphagomoku/dataset/data_packs.hpp>
+#include <alphagomoku/dataset/SearchDataStorage.hpp>
+#include <minml/utils/serialization.hpp>
 
 #include <iostream>
 #include <memory>
@@ -185,6 +188,56 @@ int main()
 					NormalPattern(key));
 			std::cout << static_cast<int>(enc.forCross()) << ' '
 					<< static_cast<int>(enc.forCircle()) << "\n" << std::flush;
+		}
+		else if (cmd == "datapack")
+		{
+			// byte-parity fuzz of the dataset record serialization:
+			// deterministically fill a SearchDataPack from an LCG seed
+			// (replicated in tools/parity_fuzz.py) and dump the serialized
+			// v201 record as hex (reference: SearchDataStorage_v201
+			// loadFrom+serialize, SearchDataStorage.cpp:326-419)
+			uint64_t seed;
+			int rows, cols;
+			ss >> seed >> rows >> cols;
+			uint64_t s64 = seed;
+			auto next = [&s64]() {
+				s64 = s64 * 6364136223846793005ULL + 1442695040888963407ULL;
+				return static_cast<uint32_t>(s64 >> 33);
+			};
+			SearchDataPack pack(rows, cols);
+			for (int i = 0; i < rows * cols; i++)
+			{
+				const uint32_t r = next();
+				if ((r & 7u) == 0)  // ~1/8 cells carry search data
+				{
+					pack.visit_count[i] = 1 + (next() % 500);
+					pack.policy_prior[i] = (next() % 10000) / 10000.0f;
+					const float wr = (next() % 1000) / 1000.0f;
+					const float dr = (1.0f - wr) * (next() % 1000) / 1000.0f;
+					pack.action_values[i] = Value(wr, dr);
+					const uint32_t k = next() % 10;
+					if (k == 0)
+						pack.action_scores[i] = Score::win_in(1 + next() % 30);
+					else if (k == 1)
+						pack.action_scores[i] = Score::loss_in(1 + next() % 30);
+					else
+						pack.action_scores[i] = Score(
+								static_cast<int>(next() % 2001) - 1000);
+				}
+			}
+			pack.minimax_score = Score(static_cast<int>(next() % 2001) - 1000);
+			SearchDataStorage_v201 storage;
+			storage.loadFrom(pack);
+			SerializedObject so;
+			storage.serialize(so);
+			std::ostringstream out;
+			static const char *hex = "0123456789abcdef";
+			for (size_t i = 0; i < so.size(); i++)
+			{
+				const unsigned char b = so.data()[i];
+				out << hex[b >> 4] << hex[b & 15];
+			}
+			std::cout << out.str() << "\n" << std::flush;
 		}
 		else
 		{
