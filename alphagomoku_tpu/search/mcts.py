@@ -949,66 +949,38 @@ def make_simulate_fn(
             found_s.append(found)
             dup_s.append(dup)
 
-        onehot_sn = jnp.stack(
-            [
+        # direct per-sub row writes: a new node's K edge slots are the sub's
+        # row broadcast under the [B, N] row mask — pure elementwise where
+        # passes (the earlier one-hot-einsum placement materialized eight
+        # [B,N,K] f32 intermediates per step and dominated the step cost)
+        # rows at the allocation frontier are still in their init_tree state
+        # (edge_child=-1, visits=0, value_sum=0 — allocation is monotone and
+        # per-lane re-init swaps in a fresh init-state tree), so only the
+        # fields with non-init content need writing
+        needs_q_init = cfg.init_to == "q_head" or cfg.policy in (
+            "puct_variance", "learnable"
+        )
+        for s in range(NSIM):
+            rm = (
                 (n_iota == new_idx_s[s][:, None]) & do_expand_s[s][:, None]
-                for s in range(NSIM)
-            ],
-            1,
-        )  # [B, S, N] bool
-        row_any = onehot_sn.any(1)  # [B, N]
-        oh_f = onehot_sn.astype(jnp.float32)
-
-        def dense_u16(vals_u16_s: list) -> jax.Array:
-            """Exact one-hot placement of per-sub u16 rows [B, K] -> [B,N,K]
-            (hi/lo byte split keeps the matmul passes integer-exact)."""
-            vals = jnp.stack(vals_u16_s, 1).astype(jnp.int32)  # [B, S, K]
-            hi = (vals >> 8).astype(jnp.float32)
-            lo = (vals & 0xFF).astype(jnp.float32)
-            out = jnp.einsum("bsn,bsk->bnk", oh_f, hi) * 256.0 + jnp.einsum(
-                "bsn,bsk->bnk", oh_f, lo
+            )[..., None]  # [B, N, 1]
+            tree = tree._replace(
+                edge_action=jnp.where(
+                    rm, actions_s[s].astype(jnp.int16)[:, None, :], tree.edge_action
+                ),
+                edge_prior=jnp.where(
+                    rm, priors_s[s].astype(jnp.bfloat16)[:, None, :], tree.edge_prior
+                ),
+                edge_score=jnp.where(rm, escore0_s[s][:, None, :], tree.edge_score),
             )
-            return jnp.round(out).astype(jnp.uint16)
-
-        import jax.lax as lax
-
-        act_enc = dense_u16(
-            [(a.astype(jnp.int32) & 0xFFFF).astype(jnp.uint16) for a in actions_s]
-        )
-        prior_enc = dense_u16(
-            [
-                lax.bitcast_convert_type(p.astype(jnp.bfloat16), jnp.uint16)
-                for p in priors_s
-            ]
-        )
-        qinit_enc = dense_u16(
-            [
-                lax.bitcast_convert_type(q.astype(jnp.bfloat16), jnp.uint16)
-                for q in q_init_s
-            ]
-        )
-        score_enc = dense_u16(escore0_s)
-
-        def sel_rows(arr, dense):
-            m = row_any.reshape(row_any.shape + (1,) * (arr.ndim - 2))
-            return jnp.where(m, dense, arr)
-
-        tree = tree._replace(
-            edge_action=sel_rows(
-                tree.edge_action, lax.bitcast_convert_type(act_enc, jnp.int16)
-            ),
-            edge_prior=sel_rows(
-                tree.edge_prior, lax.bitcast_convert_type(prior_enc, jnp.bfloat16)
-            ),
-            edge_q_init=sel_rows(
-                tree.edge_q_init, lax.bitcast_convert_type(qinit_enc, jnp.bfloat16)
-            ),
-            edge_score=sel_rows(tree.edge_score, score_enc),
-            edge_child=sel_rows(tree.edge_child, jnp.int16(-1)),
-            edge_visits=sel_rows(tree.edge_visits, jnp.int32(0)),
-            edge_value_sum=sel_rows(tree.edge_value_sum, jnp.float32(0.0)),
-            node_count=alloc,
-        )
+            if needs_q_init:
+                tree = tree._replace(
+                    edge_q_init=jnp.where(
+                        rm, q_init_s[s].astype(jnp.bfloat16)[:, None, :],
+                        tree.edge_q_init,
+                    )
+                )
+        tree = tree._replace(node_count=alloc)
 
         # node rows + parent links, one small pass per sub-simulation
         for s in range(NSIM):
@@ -1060,6 +1032,9 @@ def make_simulate_fn(
                 + jnp.where(lm, start_ml_s[s][:, None], 0.0),
             )
 
+        if profile_cutoff == "credit":
+            return state._replace(tree=tree, sims_done=state.sims_done + NSIM)
+
         # ------------------------------------------------------------------
         # BACKUP (reference: Tree::backup, Tree.cpp:299-351)
         #
@@ -1098,12 +1073,17 @@ def make_simulate_fn(
             (n_iota[:, None, :] == nd_safe[:, :, None]) & valid_all[..., None]
         ).astype(jnp.bfloat16)  # [B, P, N]; 0/1 exact in bf16, halves traffic
 
-        delta_ev = jnp.einsum("bpn,bpkc->bnkc", onehot_nd, ev_rows_add)
-        delta_evis = jnp.einsum("bpn,bpk->bnk", onehot_nd, slot_hit.astype(jnp.float32))
-        delta_nvis = jnp.einsum("bpn,bp->bn", onehot_nd, valid_all.astype(jnp.float32))
-        delta_nval = jnp.einsum("bpn,bpc->bnc", onehot_nd, vsel_all)
+        f32p = dict(preferred_element_type=jnp.float32)
+        delta_ev = jnp.einsum("bpn,bpkc->bnkc", onehot_nd, ev_rows_add, **f32p)
+        delta_evis = jnp.einsum(
+            "bpn,bpk->bnk", onehot_nd, slot_hit.astype(jnp.bfloat16), **f32p
+        )
+        delta_nvis = jnp.einsum(
+            "bpn,bp->bn", onehot_nd, valid_all.astype(jnp.bfloat16), **f32p
+        )
+        delta_nval = jnp.einsum("bpn,bpc->bnc", onehot_nd, vsel_all, **f32p)
         delta_nml = jnp.einsum(
-            "bpn,bp->bn", onehot_nd, jnp.where(valid_all, ml_all, 0.0)
+            "bpn,bp->bn", onehot_nd, jnp.where(valid_all, ml_all, 0.0), **f32p
         )
         tree = tree._replace(
             edge_value_sum=tree.edge_value_sum + delta_ev,
@@ -1113,17 +1093,50 @@ def make_simulate_fn(
             node_moves_left_sum=tree.node_moves_left_sum + delta_nml,
         )
 
+        if profile_cutoff == "backupA":
+            return state._replace(tree=tree, sims_done=state.sims_done + NSIM)
+
         # Phase B per sub-simulation
         for s in range(NSIM):
             sub = subs[s]
             valid_bd = sub.pn_t != NULL  # [B, D]
             nd_bd = jnp.where(valid_bd, sub.pn_t, 0)
             sl_bd = jnp.where(valid_bd, sub.ps_t, 0)
-            bb = b[:, None]
-            es_rows = tree.edge_score[bb, nd_bd]  # [B, D, K]
-            ea_rows = tree.edge_action[bb, nd_bd] != NULL
-            comp_rows = tree.node_complete[bb, nd_bd]
-            ns_rows = tree.node_score[bb, nd_bd]
+            oh_bd = (
+                (n_iota[:, None, :] == nd_bd[:, :, None]) & valid_bd[..., None]
+            ).astype(jnp.bfloat16)  # [B, D, N]; 0/1 exact in bf16
+            f32p = dict(preferred_element_type=jnp.float32)
+
+            # one-hot einsum READS of the path rows — per-batch-row gathers
+            # serialize on TPU (measured ~25ms/step vs <1ms for the einsum
+            # form); bytes are exact in bf16, invalid rows read garbage that
+            # the `vd` guards below never consume
+            def byte_read(arr_u16, per_slot: bool):
+                a32 = arr_u16.astype(jnp.int32)
+                hi = ((a32 >> 8) & 0xFF).astype(jnp.bfloat16)
+                lo = (a32 & 0xFF).astype(jnp.bfloat16)
+                eq = "bdn,bnk->bdk" if per_slot else "bdn,bn->bd"
+                out = jnp.einsum(eq, oh_bd, hi, **f32p) * 256.0 + jnp.einsum(
+                    eq, oh_bd, lo, **f32p
+                )
+                return jnp.round(out).astype(jnp.int32).astype(jnp.uint16)
+
+            es_rows = byte_read(tree.edge_score, True)  # [B, D, K]
+            ea_rows = (
+                jnp.einsum(
+                    "bdn,bnk->bdk", oh_bd,
+                    (tree.edge_action != NULL).astype(jnp.bfloat16), **f32p
+                )
+                > 0.5
+            )
+            comp_rows = (
+                jnp.einsum(
+                    "bdn,bn->bd", oh_bd,
+                    tree.node_complete.astype(jnp.bfloat16), **f32p
+                )
+                > 0.5
+            )
+            ns_rows = byte_read(tree.node_score, False)  # [B, D]
 
             def score_step(child_score, d, es_rows=es_rows, ea_rows=ea_rows,
                            comp_rows=comp_rows, ns_rows=ns_rows,
@@ -1165,22 +1178,29 @@ def make_simulate_fn(
             ) & 0xFFFF
             ns_delta = jnp.where(valid_bd, ns_delta, 0)
 
-            oh_bd = (
-                (n_iota[:, None, :] == nd_bd[:, :, None]) & valid_bd[..., None]
-            ).astype(jnp.bfloat16)  # [B, D, N]; 0/1 exact in bf16
-
             def byte_einsum(delta_bd, per_slot: bool):
-                hi = (delta_bd >> 8).astype(jnp.float32)
-                lo = (delta_bd & 0xFF).astype(jnp.float32)
+                # bytes (0..255) are exact in bf16, so the matmul runs one
+                # fast bf16 MXU pass per byte with f32 accumulation
+                hi = (delta_bd >> 8).astype(jnp.bfloat16)
+                lo = (delta_bd & 0xFF).astype(jnp.bfloat16)
+                zero = jnp.bfloat16(0)
                 if per_slot:
-                    hi = jnp.where(k_iota_row == sl_bd[..., None], hi[..., None], 0.0)
-                    lo = jnp.where(k_iota_row == sl_bd[..., None], lo[..., None], 0.0)
-                    out = jnp.einsum("bdn,bdk->bnk", oh_bd, hi) * 256.0 + jnp.einsum(
-                        "bdn,bdk->bnk", oh_bd, lo
+                    hi = jnp.where(k_iota_row == sl_bd[..., None], hi[..., None], zero)
+                    lo = jnp.where(k_iota_row == sl_bd[..., None], lo[..., None], zero)
+                    out = jnp.einsum(
+                        "bdn,bdk->bnk", oh_bd, hi,
+                        preferred_element_type=jnp.float32,
+                    ) * 256.0 + jnp.einsum(
+                        "bdn,bdk->bnk", oh_bd, lo,
+                        preferred_element_type=jnp.float32,
                     )
                 else:
-                    out = jnp.einsum("bdn,bd->bn", oh_bd, hi) * 256.0 + jnp.einsum(
-                        "bdn,bd->bn", oh_bd, lo
+                    out = jnp.einsum(
+                        "bdn,bd->bn", oh_bd, hi,
+                        preferred_element_type=jnp.float32,
+                    ) * 256.0 + jnp.einsum(
+                        "bdn,bd->bn", oh_bd, lo,
+                        preferred_element_type=jnp.float32,
                     )
                 return jnp.round(out).astype(jnp.uint16)
 
