@@ -794,46 +794,12 @@ def make_simulate_fn(
                 onehot_best.reshape(policy_f.shape), policy_f + 1.0, policy_f
             )
 
-        def split(x):
-            return [x[i * bsz : (i + 1) * bsz] for i in range(NSIM)]
-
-        terminal_s = split(terminal_f)
-        term_score_s = split(term_score_f)
-        value_s = split(value_f)
-        policy_s = split(policy_f)
-        q_expect_s = split(q_expect_f)
-        moves_left_s = split(moves_left_f)
-        restrict_s = split(analysis_f.restrict)
-        ascore_s = split(analysis_f.action_scores)
-        nscore_s = split(analysis_f.node_score)
-
-        # per-sub-simulation backup seeds
-        start_value_s, start_score_s, start_ml_s = [], [], []
-        revisit_s = []
-        for s in range(NSIM):
-            sub = subs[s]
-            leaf_proven = S.is_proven(tree.node_score[b, sub.leaf])
-            revisit_proven = (~sub.need_expand) & leaf_proven
-            revisit_s.append(revisit_proven)
-            sv = jnp.where(
-                revisit_proven[:, None],
-                S.convert_to_value(tree.node_score[b, sub.leaf]),
-                value_s[s],
-            )
-            ss = jnp.where(
-                sub.need_expand,
-                term_score_s[s],
-                jnp.where(revisit_proven, tree.node_score[b, sub.leaf], S.zero()),
-            )
-            start_value_s.append(sv)
-            start_score_s.append(ss)
-            start_ml_s.append(moves_left_s[s])
-
         if profile_cutoff == "evaluate":
-            dep = sum(
-                sv.sum(-1) + ss.astype(jnp.float32)
-                for sv, ss in zip(start_value_s, start_score_s)
-            ) + policy_f.reshape(NSIM, bsz, -1).sum((0, 2))
+            dep = (
+                value_f.sum(-1).reshape(NSIM, bsz).sum(0)
+                + policy_f.reshape(NSIM, bsz, -1).sum((0, 2))
+                + analysis_f.node_score.astype(jnp.float32).reshape(NSIM, bsz).sum(0)
+            )
             return state._replace(
                 sims_done=state.sims_done + NSIM,
                 stats=state.stats._replace(
@@ -851,167 +817,298 @@ def make_simulate_fn(
         # 64-bit key IS the identity — collision odds are negligible at
         # tree sizes of ~1e3 nodes)
         ztable = zobrist.make_table(h, w)
-        hash_s = split(zobrist.full_hash(ztable, boards_f, stm_f))  # S x [B, 2]
+        hash_f = zobrist.full_hash(ztable, boards_f, stm_f)  # [S*B, 2]
         in_use = n_iota < tree.node_count[:, None]  # pre-step nodes only
 
-        actions_s, priors_s, q_init_s, escore0_s, nodescore_s = [], [], [], [], []
-        do_expand_s, new_idx_s, link_target_s, link_flag_s = [], [], [], []
-        touch_node_s, touch_flag_s, found_s, dup_s = [], [], [], []
-        alloc = tree.node_count
-        for s in range(NSIM):
-            sub = subs[s]
-            actions, priors, complete = _topk_edges(
-                policy_s[s], restrict_s[s], K, cfg.policy_expansion_temperature
-            )
-            actions = jnp.where((~terminal_s[s])[:, None], actions, NULL)
-            qv = q_expect_s[s].reshape(bsz, h * w)
-            safe_act = jnp.clip(actions, 0, h * w - 1)
-            q_init = jnp.where(
-                actions != NULL, jnp.take_along_axis(qv, safe_act, -1), 0.0
-            )
-            flat_sc = ascore_s[s].reshape(bsz, h * w)
-            escore0 = jnp.take_along_axis(flat_sc, safe_act, -1)
-            last_cell = ((sub.sim_board == V.NONE).sum((1, 2)) <= 1)[:, None]
-            escore0 = jnp.where(
-                last_cell & ~S.is_proven(escore0), S.draw_in(1), escore0
-            )
-            escore0 = jnp.where(actions != NULL, escore0, S.zero()).astype(jnp.uint16)
-            best_edge = jnp.max(
-                jnp.where(actions != NULL, escore0, jnp.asarray(S.MINUS_INF)), -1
-            ).astype(jnp.uint16)
-            node_score_new = jnp.where(
-                terminal_s[s],
-                term_score_s[s],
-                jnp.where(S.is_win(best_edge), best_edge, nscore_s[s]),
-            ).astype(jnp.uint16)
+        # -- edge generation for ALL subs in one flat [S*B] pass ------------
+        actions_f, priors_f, complete_f = _topk_edges(
+            policy_f, analysis_f.restrict, K, cfg.policy_expansion_temperature
+        )
+        actions_f = jnp.where((~terminal_f)[:, None], actions_f, NULL)
+        qv_f = q_expect_f.reshape(-1, h * w)
+        safe_f = jnp.clip(actions_f, 0, h * w - 1)
+        q_init_f = jnp.where(
+            actions_f != NULL, jnp.take_along_axis(qv_f, safe_f, -1), 0.0
+        )
+        escore0_f = jnp.take_along_axis(
+            analysis_f.action_scores.reshape(-1, h * w), safe_f, -1
+        )
+        last_cell_f = ((boards_f == V.NONE).sum((1, 2)) <= 1)[:, None]
+        escore0_f = jnp.where(
+            last_cell_f & ~S.is_proven(escore0_f), S.draw_in(1), escore0_f
+        )
+        escore0_f = jnp.where(actions_f != NULL, escore0_f, S.zero()).astype(
+            jnp.uint16
+        )
+        best_edge_f = jnp.max(
+            jnp.where(actions_f != NULL, escore0_f, jnp.asarray(S.MINUS_INF)), -1
+        ).astype(jnp.uint16)
+        node_score_new_f = jnp.where(
+            terminal_f,
+            term_score_f,
+            jnp.where(S.is_win(best_edge_f), best_edge_f, analysis_f.node_score),
+        ).astype(jnp.uint16)
 
-            # duplicate leaf edges within this step link to the first
-            # expander's node; transposition hits link to the existing node
-            dup = jnp.zeros(bsz, bool)
-            dup_child = jnp.zeros(bsz, jnp.int32)
-            for s2 in range(s):
-                m2 = (
-                    do_expand_s[s2]
-                    & (subs[s2].last_node == sub.last_node)
-                    & (subs[s2].last_slot == sub.last_slot)
-                )
-                dup = dup | m2
-                dup_child = jnp.where(m2, new_idx_s[s2], dup_child)
-            if cfg.use_transpositions:
-                hmatch = (tree.node_hash == hash_s[s][:, None, :]).all(-1) & in_use
-                found = jnp.any(hmatch, -1) & sub.need_expand & ~terminal_s[s] & ~dup
-                found_idx = jnp.argmax(hmatch, -1).astype(jnp.int32)
-            else:
-                found = jnp.zeros(bsz, bool)
-                found_idx = jnp.zeros(bsz, jnp.int32)
+        def to_bs(x_f):
+            """[S*B, ...] (sub-major) -> [B, S, ...]"""
+            return x_f.reshape((NSIM, bsz) + x_f.shape[1:]).swapaxes(0, 1)
 
-            do_exp = sub.need_expand & ~dup & ~found & (alloc < tree.capacity)
-            new_idx = jnp.where(do_exp, alloc, 0)
-            alloc = alloc + do_exp.astype(jnp.int32)
+        actions_bs = to_bs(actions_f)  # [B, S, K]
+        priors_bs = to_bs(priors_f)
+        q_init_bs = to_bs(q_init_f)
+        escore0_bs = to_bs(escore0_f)
+        complete_bs = to_bs(complete_f)
+        nsn_bs = to_bs(node_score_new_f)  # [B, S]
+        term_bs = to_bs(terminal_f)
+        tsc_bs = to_bs(term_score_f)
+        hash_bs = to_bs(hash_f)  # [B, S, 2]
+        ml_bs = to_bs(moves_left_f)
+        value_bs = to_bs(value_f)  # [B, S, 2]
 
-            # refresh backup seeds: statically proven new-node score, or the
-            # transposed node's existing (possibly proven) score
-            start_score_s[s] = jnp.where(
-                sub.need_expand, node_score_new, start_score_s[s]
+        need_bs = jnp.stack([sub.need_expand for sub in subs], 1)  # [B, S]
+        steps_bs = jnp.stack([sub.steps for sub in subs], 1)
+        leaf_bs = jnp.stack([sub.leaf for sub in subs], 1)
+        last_node_bs = jnp.stack([sub.last_node for sub in subs], 1)
+        last_slot_bs = jnp.stack([sub.last_slot for sub in subs], 1)
+
+        # -- backup seeds: proven revisits (vectorized over [B, S]) ---------
+        oh_leaf = (n_iota[:, None, :] == leaf_bs[..., None]).astype(
+            jnp.bfloat16
+        )  # [B, S, N]
+        f32p = dict(preferred_element_type=jnp.float32)
+
+        def byte_read_bs(arr_u16_bn, oh):
+            """[B, N] u16 + [B, S, N] one-hot -> [B, S] u16 (exact)."""
+            a32 = arr_u16_bn.astype(jnp.int32)
+            hi = ((a32 >> 8) & 0xFF).astype(jnp.bfloat16)
+            lo = (a32 & 0xFF).astype(jnp.bfloat16)
+            out = jnp.einsum("bsn,bn->bs", oh, hi, **f32p) * 256.0 + jnp.einsum(
+                "bsn,bn->bs", oh, lo, **f32p
             )
-            start_value_s[s] = jnp.where(
-                (sub.need_expand & S.is_proven(node_score_new))[:, None],
-                S.convert_to_value(node_score_new),
-                start_value_s[s],
-            )
-            found_score = tree.node_score[b, jnp.where(found, found_idx, 0)]
-            start_score_s[s] = jnp.where(found, found_score, start_score_s[s])
-            start_value_s[s] = jnp.where(
-                (found & S.is_proven(found_score))[:, None],
-                S.convert_to_value(found_score),
-                start_value_s[s],
-            )
+            return jnp.round(out).astype(jnp.int32).astype(jnp.uint16)
 
-            link_flag = do_exp | found
-            link_target = jnp.where(found, found_idx, new_idx)
-            # stat credit for the reached child when no node was created
-            touch_flag = ((~sub.need_expand) & (sub.steps > 0)) | found | dup
-            touch_node = jnp.where(
-                found, found_idx, jnp.where(dup, dup_child, sub.leaf)
+        leaf_score_bs = byte_read_bs(tree.node_score, oh_leaf)
+        revisit_bs = (~need_bs) & S.is_proven(leaf_score_bs)
+        start_value_bs = jnp.where(
+            revisit_bs[..., None], S.convert_to_value(leaf_score_bs), value_bs
+        )
+        start_score_bs = jnp.where(
+            need_bs, tsc_bs, jnp.where(revisit_bs, leaf_score_bs, S.zero())
+        ).astype(jnp.uint16)
+        start_ml_bs = ml_bs
+
+        # -- dedup + transposition + allocation, closed form over [B, S] ----
+        # (replaces the sequential per-sub chain: a sub that expands an edge
+        # already claimed by an EARLIER sub links to that sub's node; hits in
+        # the pre-step transposition table take the existing node.  A sub's
+        # transposition verdict is independent of earlier subs: duplicates
+        # share the position hash, so either the whole group hits the
+        # pre-step table or none of it does.)
+        if cfg.use_transpositions:
+            hm = (
+                tree.node_hash[:, None, :, :] == hash_bs[:, :, None, :]
+            ).all(-1) & in_use[:, None, :]  # [B, S, N]
+            found_bs = hm.any(-1) & need_bs & ~term_bs
+            found_idx_bs = jnp.argmax(hm, -1).astype(jnp.int32)
+            found_score_bs = byte_read_bs(
+                tree.node_score, hm.astype(jnp.bfloat16)
             )
+        else:
+            found_bs = jnp.zeros((bsz, NSIM), bool)
+            found_idx_bs = jnp.zeros((bsz, NSIM), jnp.int32)
+            found_score_bs = jnp.zeros((bsz, NSIM), jnp.uint16)
 
-            actions_s.append(actions)
-            priors_s.append(priors)
-            q_init_s.append(q_init)
-            escore0_s.append(escore0)
-            nodescore_s.append((node_score_new, complete))
-            do_expand_s.append(do_exp)
-            new_idx_s.append(new_idx)
-            link_target_s.append(link_target)
-            link_flag_s.append(link_flag)
-            touch_node_s.append(touch_node)
-            touch_flag_s.append(touch_flag)
-            found_s.append(found)
-            dup_s.append(dup)
+        s_iota = jnp.arange(NSIM, dtype=jnp.int32)
+        key_bs = last_node_bs * jnp.int32(K) + last_slot_bs  # [B, S]
+        cand = need_bs & ~found_bs
+        same_ss = key_bs[:, :, None] == key_bs[:, None, :]  # [B, S, S]
+        earlier = (s_iota[None, :] < s_iota[:, None])[None]  # [1, S, S]
+        first = cand & ~(same_ss & cand[:, None, :] & earlier).any(-1)
+        rank = jnp.cumsum(first.astype(jnp.int32), 1) - first.astype(jnp.int32)
+        do_exp_bs = first & (tree.node_count[:, None] + rank < tree.capacity)
+        new_idx_bs = jnp.where(do_exp_bs, tree.node_count[:, None] + rank, 0)
+        alloc = tree.node_count + do_exp_bs.sum(1)
+        # duplicates: same edge as an expanded group-first
+        first_exp = same_ss & do_exp_bs[:, None, :]  # [B, S, S']
+        dup_bs = cand & ~first & first_exp.any(-1)
+        dup_child_bs = (first_exp * new_idx_bs[:, None, :]).sum(-1)
 
-        # direct per-sub row writes: a new node's K edge slots are the sub's
-        # row broadcast under the [B, N] row mask — pure elementwise where
-        # passes (the earlier one-hot-einsum placement materialized eight
-        # [B,N,K] f32 intermediates per step and dominated the step cost)
-        # rows at the allocation frontier are still in their init_tree state
+        # refresh seeds with the new/transposed node's score
+        start_score_bs = jnp.where(need_bs, nsn_bs, start_score_bs)
+        start_value_bs = jnp.where(
+            (need_bs & S.is_proven(nsn_bs))[..., None],
+            S.convert_to_value(nsn_bs),
+            start_value_bs,
+        )
+        start_score_bs = jnp.where(found_bs, found_score_bs, start_score_bs)
+        start_value_bs = jnp.where(
+            (found_bs & S.is_proven(found_score_bs))[..., None],
+            S.convert_to_value(found_score_bs),
+            start_value_bs,
+        )
+
+        link_flag_bs = do_exp_bs | found_bs
+        link_target_bs = jnp.where(found_bs, found_idx_bs, new_idx_bs)
+        touch_flag_bs = ((~need_bs) & (steps_bs > 0)) | found_bs | dup_bs
+        touch_node_bs = jnp.where(
+            found_bs, found_idx_bs, jnp.where(dup_bs, dup_child_bs, leaf_bs)
+        )
+
+        # -- edge-row writes of the new nodes --------------------------------
+        # Rows at the allocation frontier are still in their init_tree state
         # (edge_child=-1, visits=0, value_sum=0 — allocation is monotone and
         # per-lane re-init swaps in a fresh init-state tree), so only the
-        # fields with non-init content need writing
+        # fields with non-init content need writing.  One sub: a direct
+        # broadcast where-write.  Several subs: exact one-hot byte-split
+        # einsum placement (new nodes have distinct indices, so the sum
+        # places each row exactly once) — the kernel count stays flat in S.
         needs_q_init = cfg.init_to == "q_head" or cfg.policy in (
             "puct_variance", "learnable"
         )
-        for s in range(NSIM):
+        import jax.lax as lax
+
+        if NSIM == 1:
             rm = (
-                (n_iota == new_idx_s[s][:, None]) & do_expand_s[s][:, None]
+                (n_iota == new_idx_bs[:, 0][:, None]) & do_exp_bs[:, 0][:, None]
             )[..., None]  # [B, N, 1]
             tree = tree._replace(
                 edge_action=jnp.where(
-                    rm, actions_s[s].astype(jnp.int16)[:, None, :], tree.edge_action
+                    rm, actions_bs[:, 0].astype(jnp.int16)[:, None, :],
+                    tree.edge_action,
                 ),
                 edge_prior=jnp.where(
-                    rm, priors_s[s].astype(jnp.bfloat16)[:, None, :], tree.edge_prior
+                    rm, priors_bs[:, 0].astype(jnp.bfloat16)[:, None, :],
+                    tree.edge_prior,
                 ),
-                edge_score=jnp.where(rm, escore0_s[s][:, None, :], tree.edge_score),
+                edge_score=jnp.where(
+                    rm, escore0_bs[:, 0][:, None, :], tree.edge_score
+                ),
             )
             if needs_q_init:
                 tree = tree._replace(
                     edge_q_init=jnp.where(
-                        rm, q_init_s[s].astype(jnp.bfloat16)[:, None, :],
+                        rm, q_init_bs[:, 0].astype(jnp.bfloat16)[:, None, :],
+                        tree.edge_q_init,
+                    )
+                )
+        else:
+            oh_new = (
+                (n_iota[:, None, :] == new_idx_bs[..., None])
+                & do_exp_bs[..., None]
+            ).astype(jnp.bfloat16)  # [B, S, N]
+            row_mask = jnp.einsum("bsn->bn", oh_new) > 0.5  # [B, N]
+
+            def place_u16(vals_bs_u16):
+                v = vals_bs_u16.astype(jnp.int32)
+                hi = ((v >> 8) & 0xFF).astype(jnp.bfloat16)
+                lo = (v & 0xFF).astype(jnp.bfloat16)
+                out = jnp.einsum("bsn,bsk->bnk", oh_new, hi, **f32p) * 256.0 + (
+                    jnp.einsum("bsn,bsk->bnk", oh_new, lo, **f32p)
+                )
+                return jnp.round(out).astype(jnp.int32).astype(jnp.uint16)
+
+            m3 = row_mask[..., None]
+            tree = tree._replace(
+                edge_action=jnp.where(
+                    m3,
+                    lax.bitcast_convert_type(
+                        place_u16((actions_bs & 0xFFFF).astype(jnp.uint16)),
+                        jnp.int16,
+                    ),
+                    tree.edge_action,
+                ),
+                edge_prior=jnp.where(
+                    m3,
+                    lax.bitcast_convert_type(
+                        place_u16(
+                            lax.bitcast_convert_type(
+                                priors_bs.astype(jnp.bfloat16), jnp.uint16
+                            )
+                        ),
+                        jnp.bfloat16,
+                    ),
+                    tree.edge_prior,
+                ),
+                edge_score=jnp.where(m3, place_u16(escore0_bs), tree.edge_score),
+            )
+            if needs_q_init:
+                tree = tree._replace(
+                    edge_q_init=jnp.where(
+                        m3,
+                        lax.bitcast_convert_type(
+                            place_u16(
+                                lax.bitcast_convert_type(
+                                    q_init_bs.astype(jnp.bfloat16), jnp.uint16
+                                )
+                            ),
+                            jnp.bfloat16,
+                        ),
                         tree.edge_q_init,
                     )
                 )
         tree = tree._replace(node_count=alloc)
 
-        # node rows + parent links, one small pass per sub-simulation
+        # -- node rows + parent links ----------------------------------------
+        # node arrays are [B, N] (small); per-sub where passes stay cheap
         for s in range(NSIM):
-            rm = (n_iota == new_idx_s[s][:, None]) & do_expand_s[s][:, None]
-            node_score_new, complete = nodescore_s[s]
+            rm = (n_iota == new_idx_bs[:, s][:, None]) & do_exp_bs[:, s][:, None]
             tree = tree._replace(
                 node_visits=jnp.where(rm, 1, tree.node_visits),
                 node_value_sum=jnp.where(
-                    rm[..., None], start_value_s[s][:, None, :], tree.node_value_sum
+                    rm[..., None], start_value_bs[:, s][:, None, :],
+                    tree.node_value_sum,
                 ),
-                node_score=jnp.where(rm, node_score_new[:, None], tree.node_score),
+                node_score=jnp.where(rm, nsn_bs[:, s][:, None], tree.node_score),
                 node_moves_left_sum=jnp.where(
-                    rm, moves_left_s[s][:, None], tree.node_moves_left_sum
+                    rm, ml_bs[:, s][:, None], tree.node_moves_left_sum
                 ),
                 node_complete=jnp.where(
-                    rm, (complete & ~terminal_s[s])[:, None], tree.node_complete
+                    rm, (complete_bs[:, s] & ~term_bs[:, s])[:, None],
+                    tree.node_complete,
                 ),
                 node_hash=jnp.where(
-                    rm[..., None], hash_s[s][:, None, :], tree.node_hash
+                    rm[..., None], hash_bs[:, s][:, None, :], tree.node_hash
                 ),
             )
-            # link the edge to the new node OR the transposed existing node
-            link_node = jnp.where(link_flag_s[s], subs[s].last_node, NULL)
-            link_slot = jnp.where(link_flag_s[s], subs[s].last_slot, 0)
+
+        # parent links: one einsum placement for all subs (duplicate-found
+        # links share the same target, keep only each edge's first linker)
+        linkers = link_flag_bs & ~(
+            same_ss & link_flag_bs[:, None, :] & earlier
+        ).any(-1)
+        if NSIM == 1:
+            link_node = jnp.where(linkers[:, 0], last_node_bs[:, 0], NULL)
             link_mask = (n_iota == link_node[:, None])[:, :, None] & (
-                k_iota[None, None, :] == link_slot[:, None, None]
+                k_iota[None, None, :] == last_slot_bs[:, 0][:, None, None]
             )
             tree = tree._replace(
                 edge_child=jnp.where(
                     link_mask,
-                    link_target_s[s].astype(jnp.int16)[:, None, None],
+                    link_target_bs[:, 0].astype(jnp.int16)[:, None, None],
+                    tree.edge_child,
+                )
+            )
+        else:
+            oh_ln = (
+                (n_iota[:, None, :] == last_node_bs[..., None])
+                & linkers[..., None]
+            ).astype(jnp.bfloat16)  # [B, S, N]
+            oh_lk = (
+                k_iota[None, None, :] == last_slot_bs[..., None]
+            ).astype(jnp.bfloat16)  # [B, S, K]
+            tgt = link_target_bs.astype(jnp.int32)
+            hi = ((tgt >> 8) & 0xFF).astype(jnp.bfloat16)
+            lo = (tgt & 0xFF).astype(jnp.bfloat16)
+            placed = jnp.einsum(
+                "bsn,bsk,bs->bnk", oh_ln, oh_lk, hi, **f32p
+            ) * 256.0 + jnp.einsum("bsn,bsk,bs->bnk", oh_ln, oh_lk, lo, **f32p)
+            lmask = (
+                jnp.einsum("bsn,bsk->bnk", oh_ln, oh_lk, **f32p) > 0.5
+            )
+            tree = tree._replace(
+                edge_child=jnp.where(
+                    lmask,
+                    jnp.round(placed).astype(jnp.int32).astype(jnp.int16),
                     tree.edge_child,
                 )
             )
@@ -1020,17 +1117,23 @@ def make_simulate_fn(
             # tree is a real output here, so the expand phase survives DCE
             return state._replace(tree=tree, sims_done=state.sims_done + NSIM)
 
-        # stat credit for reached-but-not-created nodes: proven revisits,
-        # depth cutoffs, duplicate expansions, transposition hits
-        for s in range(NSIM):
-            lm = (n_iota == touch_node_s[s][:, None]) & touch_flag_s[s][:, None]
-            tree = tree._replace(
-                node_visits=tree.node_visits + lm.astype(jnp.int32),
-                node_value_sum=tree.node_value_sum
-                + jnp.where(lm[..., None], start_value_s[s][:, None, :], 0.0),
-                node_moves_left_sum=tree.node_moves_left_sum
-                + jnp.where(lm, start_ml_s[s][:, None], 0.0),
-            )
+        # -- stat credit for reached-but-not-created nodes -------------------
+        # proven revisits, depth cutoffs, duplicate expansions, transposition
+        # hits; exact one-hot einsum accumulation over all subs at once
+        oh_touch = (
+            (n_iota[:, None, :] == touch_node_bs[..., None])
+            & touch_flag_bs[..., None]
+        ).astype(jnp.bfloat16)  # [B, S, N]
+        tree = tree._replace(
+            node_visits=tree.node_visits
+            + jnp.round(jnp.einsum("bsn->bn", oh_touch.astype(jnp.float32))).astype(
+                jnp.int32
+            ),
+            node_value_sum=tree.node_value_sum
+            + jnp.einsum("bsn,bsc->bnc", oh_touch, start_value_bs, **f32p),
+            node_moves_left_sum=tree.node_moves_left_sum
+            + jnp.einsum("bsn,bs->bn", oh_touch, start_ml_bs, **f32p),
+        )
 
         if profile_cutoff == "credit":
             return state._replace(tree=tree, sims_done=state.sims_done + NSIM)
@@ -1046,24 +1149,23 @@ def make_simulate_fn(
         # ------------------------------------------------------------------
         minus_inf = jnp.asarray(S.MINUS_INF)
         P = NSIM * D
-        nd_all = jnp.concatenate([s.pn_t for s in subs], 1)  # [B, P]
-        sl_all = jnp.concatenate([s.ps_t for s in subs], 1)
+        pn_sd = jnp.stack([s.pn_t for s in subs], 1)  # [B, S, D]
+        ps_sd = jnp.stack([s.ps_t for s in subs], 1)
+        nd_all = pn_sd.reshape(bsz, P)  # [B, P] (sub-major)
+        sl_all = ps_sd.reshape(bsz, P)
         valid_all = nd_all != NULL
         nd_safe = jnp.where(valid_all, nd_all, 0)
 
-        d_idx = jnp.arange(D, dtype=jnp.int32)[None, :]
-        val_parts, ml_parts = [], []
-        for s in range(NSIM):
-            flips = subs[s].steps[:, None] - d_idx  # [B, D]
-            odd = (flips & 1) == 1
-            inv_value = S.value_invert(start_value_s[s])
-            vp = jnp.where(
-                odd[..., None], inv_value[:, None, :], start_value_s[s][:, None, :]
-            )
-            val_parts.append(vp)
-            ml_parts.append(start_ml_s[s][:, None] + flips.astype(jnp.float32))
-        val_all = jnp.concatenate(val_parts, 1)  # [B, P, 2]
-        ml_all = jnp.concatenate(ml_parts, 1)  # [B, P]
+        d_idx = jnp.arange(D, dtype=jnp.int32)[None, None, :]
+        flips = steps_bs[..., None] - d_idx  # [B, S, D]
+        odd = (flips & 1) == 1
+        inv_value = S.value_invert(start_value_bs)  # [B, S, 2]
+        val_all = jnp.where(
+            odd[..., None], inv_value[:, :, None, :], start_value_bs[:, :, None, :]
+        ).reshape(bsz, P, 2)
+        ml_all = (start_ml_bs[..., None] + flips.astype(jnp.float32)).reshape(
+            bsz, P
+        )
         vsel_all = jnp.where(valid_all[..., None], val_all, 0.0)
 
         k_iota_row = k_iota[None, None, :]
@@ -1073,7 +1175,6 @@ def make_simulate_fn(
             (n_iota[:, None, :] == nd_safe[:, :, None]) & valid_all[..., None]
         ).astype(jnp.bfloat16)  # [B, P, N]; 0/1 exact in bf16, halves traffic
 
-        f32p = dict(preferred_element_type=jnp.float32)
         delta_ev = jnp.einsum("bpn,bpkc->bnkc", onehot_nd, ev_rows_add, **f32p)
         delta_evis = jnp.einsum(
             "bpn,bpk->bnk", onehot_nd, slot_hit.astype(jnp.bfloat16), **f32p
@@ -1096,131 +1197,143 @@ def make_simulate_fn(
         if profile_cutoff == "backupA":
             return state._replace(tree=tree, sims_done=state.sims_done + NSIM)
 
-        # Phase B per sub-simulation
-        for s in range(NSIM):
-            sub = subs[s]
-            valid_bd = sub.pn_t != NULL  # [B, D]
-            nd_bd = jnp.where(valid_bd, sub.pn_t, 0)
-            sl_bd = jnp.where(valid_bd, sub.ps_t, 0)
-            oh_bd = (
-                (n_iota[:, None, :] == nd_bd[:, :, None]) & valid_bd[..., None]
-            ).astype(jnp.bfloat16)  # [B, D, N]; 0/1 exact in bf16
-            f32p = dict(preferred_element_type=jnp.float32)
+        # Phase B: ALL sub-simulations in one vectorized pass.  Within each
+        # sub the minimax walks its path sequentially (one merged scan over
+        # depth with [B, S] lanes); across subs, claims to the same edge or
+        # node are deduplicated by strength (Node::updateScore = max) — the
+        # relaxation vs the reference's strictly sequential task processing
+        # is that a sub's minimax reads the pre-backup tree, so a sibling
+        # sub's brand-new proof propagates on the NEXT step instead of this
+        # one (the same one-step delay batching already imposes on values).
+        valid_sd = pn_sd != NULL  # [B, S, D]
+        nd_sd = jnp.where(valid_sd, pn_sd, 0)
+        sl_sd = jnp.where(valid_sd, ps_sd, 0)
 
-            # one-hot einsum READS of the path rows — per-batch-row gathers
-            # serialize on TPU (measured ~25ms/step vs <1ms for the einsum
-            # form); bytes are exact in bf16, invalid rows read garbage that
-            # the `vd` guards below never consume
-            def byte_read(arr_u16, per_slot: bool):
-                a32 = arr_u16.astype(jnp.int32)
-                hi = ((a32 >> 8) & 0xFF).astype(jnp.bfloat16)
-                lo = (a32 & 0xFF).astype(jnp.bfloat16)
-                eq = "bdn,bnk->bdk" if per_slot else "bdn,bn->bd"
-                out = jnp.einsum(eq, oh_bd, hi, **f32p) * 256.0 + jnp.einsum(
-                    eq, oh_bd, lo, **f32p
-                )
-                return jnp.round(out).astype(jnp.int32).astype(jnp.uint16)
-
-            es_rows = byte_read(tree.edge_score, True)  # [B, D, K]
-            ea_rows = (
-                jnp.einsum(
-                    "bdn,bnk->bdk", oh_bd,
-                    (tree.edge_action != NULL).astype(jnp.bfloat16), **f32p
-                )
-                > 0.5
+        # one-hot einsum READS of all path rows (per-batch-row gathers
+        # serialize on TPU; bytes are exact in bf16; invalid rows read
+        # garbage that the `vd` guards below never consume)
+        def byte_read_p(arr_u16, per_slot: bool):
+            a32 = arr_u16.astype(jnp.int32)
+            hi = ((a32 >> 8) & 0xFF).astype(jnp.bfloat16)
+            lo = (a32 & 0xFF).astype(jnp.bfloat16)
+            eq = "bpn,bnk->bpk" if per_slot else "bpn,bn->bp"
+            out = jnp.einsum(eq, onehot_nd, hi, **f32p) * 256.0 + jnp.einsum(
+                eq, onehot_nd, lo, **f32p
             )
-            comp_rows = (
-                jnp.einsum(
-                    "bdn,bn->bd", oh_bd,
-                    tree.node_complete.astype(jnp.bfloat16), **f32p
-                )
-                > 0.5
+            return jnp.round(out).astype(jnp.int32).astype(jnp.uint16)
+
+        es_rows = byte_read_p(tree.edge_score, True).reshape(bsz, NSIM, D, K)
+        ea_rows = (
+            jnp.einsum(
+                "bpn,bnk->bpk", onehot_nd,
+                (tree.edge_action != NULL).astype(jnp.bfloat16), **f32p
             )
-            ns_rows = byte_read(tree.node_score, False)  # [B, D]
-
-            def score_step(child_score, d, es_rows=es_rows, ea_rows=ea_rows,
-                           comp_rows=comp_rows, ns_rows=ns_rows,
-                           valid_bd=valid_bd, sl_bd=sl_bd):
-                vd = valid_bd[:, d]
-                pscore = S.invert_up(child_score)
-                old_e = es_rows[:, d, :]
-                sl = sl_bd[:, d]
-                e_at_slot = jnp.take_along_axis(old_e, sl[:, None], -1)[:, 0]
-                e_new = jnp.where(
-                    vd & S.is_proven(pscore), pscore, e_at_slot
-                ).astype(jnp.uint16)
-                row = jnp.where(k_iota[None, :] == sl[:, None], e_new[:, None], old_e)
-                ea = ea_rows[:, d, :]
-                best = jnp.max(jnp.where(ea, row, minus_inf), -1).astype(jnp.uint16)
-                all_proven = jnp.all(S.is_proven(row) | ~ea, -1)
-                provable = S.is_win(best) | (
-                    all_proven & comp_rows[:, d] & S.is_proven(best)
-                )
-                ns_new = jnp.where(vd & provable, best, ns_rows[:, d]).astype(
-                    jnp.uint16
-                )
-                nxt = jnp.where(vd, ns_new, child_score)
-                return nxt, (e_new, ns_new)
-
-            _, (e_new_all, ns_new_all) = jax.lax.scan(
-                score_step, start_score_s[s], jnp.arange(D - 1, -1, -1)
+            > 0.5
+        ).reshape(bsz, NSIM, D, K)
+        comp_rows = (
+            jnp.einsum(
+                "bpn,bn->bp", onehot_nd,
+                tree.node_complete.astype(jnp.bfloat16), **f32p
             )
-            e_new_bd = e_new_all[::-1].T  # [B, D]
-            ns_new_bd = ns_new_all[::-1].T
+            > 0.5
+        ).reshape(bsz, NSIM, D)
+        ns_rows = byte_read_p(tree.node_score, False).reshape(bsz, NSIM, D)
 
-            e_old_bd = jnp.take_along_axis(es_rows, sl_bd[..., None], -1)[..., 0]
-            e_delta = (
-                e_new_bd.astype(jnp.int32) - e_old_bd.astype(jnp.int32)
-            ) & 0xFFFF
-            e_delta = jnp.where(valid_bd, e_delta, 0)
-            ns_delta = (
-                ns_new_bd.astype(jnp.int32) - ns_rows.astype(jnp.int32)
-            ) & 0xFFFF
-            ns_delta = jnp.where(valid_bd, ns_delta, 0)
+        def score_step(child_score, d):  # child_score [B, S]
+            vd = valid_sd[:, :, d]
+            pscore = S.invert_up(child_score)
+            old_e = es_rows[:, :, d, :]  # [B, S, K]
+            sl = sl_sd[:, :, d]
+            e_at_slot = jnp.take_along_axis(old_e, sl[..., None], -1)[..., 0]
+            e_new = jnp.where(
+                vd & S.is_proven(pscore), pscore, e_at_slot
+            ).astype(jnp.uint16)
+            row = jnp.where(
+                k_iota[None, None, :] == sl[..., None], e_new[..., None], old_e
+            )
+            ea = ea_rows[:, :, d, :]
+            best = jnp.max(jnp.where(ea, row, minus_inf), -1).astype(jnp.uint16)
+            all_proven = jnp.all(S.is_proven(row) | ~ea, -1)
+            provable = S.is_win(best) | (
+                all_proven & comp_rows[:, :, d] & S.is_proven(best)
+            )
+            ns_new = jnp.where(vd & provable, best, ns_rows[:, :, d]).astype(
+                jnp.uint16
+            )
+            nxt = jnp.where(vd, ns_new, child_score)
+            return nxt, (e_new, ns_new)
 
-            def byte_einsum(delta_bd, per_slot: bool):
-                # bytes (0..255) are exact in bf16, so the matmul runs one
-                # fast bf16 MXU pass per byte with f32 accumulation
-                hi = (delta_bd >> 8).astype(jnp.bfloat16)
-                lo = (delta_bd & 0xFF).astype(jnp.bfloat16)
+        _, (e_new_all, ns_new_all) = jax.lax.scan(
+            score_step, start_score_bs, jnp.arange(D - 1, -1, -1)
+        )
+        # [D, B, S] (reversed) -> [B, P]
+        e_new_p = e_new_all[::-1].transpose(1, 2, 0).reshape(bsz, P)
+        ns_new_p = ns_new_all[::-1].transpose(1, 2, 0).reshape(bsz, P)
+        e_old_p = jnp.take_along_axis(
+            es_rows.reshape(bsz, P, K), sl_all[..., None], -1
+        )[..., 0]
+        ns_old_p = ns_rows.reshape(bsz, P)
+
+        def dedup_claims(key_p, new_p, old_p):
+            """Keep per (board, key) the strongest REAL claim: claims that
+            change nothing lose to any changing claim, then higher packed
+            score wins (Node::updateScore = max), then the earliest path
+            position (reference: sequential task order)."""
+            changes = (new_p != old_p) & valid_all
+            rankv = new_p.astype(jnp.int32) + (changes.astype(jnp.int32) << 17)
+            p_iota = jnp.arange(P, dtype=jnp.int32)
+            same = (key_p[:, :, None] == key_p[:, None, :]) & valid_all[:, None, :]
+            beats = (rankv[:, None, :] > rankv[:, :, None]) | (
+                (rankv[:, None, :] == rankv[:, :, None])
+                & (p_iota[None, None, :] < p_iota[None, :, None])
+            )
+            win = valid_all & ~(same & beats).any(-1)
+            return jnp.where(
+                win & changes,
+                (new_p.astype(jnp.int32) - old_p.astype(jnp.int32)) & 0xFFFF,
+                0,
+            )
+
+        ekey = nd_safe * jnp.int32(K) + jnp.where(valid_all, sl_all, 0)
+        e_delta_p = dedup_claims(ekey, e_new_p, e_old_p)
+        ns_delta_p = dedup_claims(nd_safe, ns_new_p, ns_old_p)
+
+        def byte_place(delta_p, per_slot: bool):
+            # bytes (0..255) are exact in bf16: fast MXU passes with f32
+            # accumulation; winners are unique per (node, slot) so the
+            # additive placement lands each delta exactly once
+            hi = (delta_p >> 8).astype(jnp.bfloat16)
+            lo = (delta_p & 0xFF).astype(jnp.bfloat16)
+            if per_slot:
                 zero = jnp.bfloat16(0)
-                if per_slot:
-                    hi = jnp.where(k_iota_row == sl_bd[..., None], hi[..., None], zero)
-                    lo = jnp.where(k_iota_row == sl_bd[..., None], lo[..., None], zero)
-                    out = jnp.einsum(
-                        "bdn,bdk->bnk", oh_bd, hi,
-                        preferred_element_type=jnp.float32,
-                    ) * 256.0 + jnp.einsum(
-                        "bdn,bdk->bnk", oh_bd, lo,
-                        preferred_element_type=jnp.float32,
-                    )
-                else:
-                    out = jnp.einsum(
-                        "bdn,bd->bn", oh_bd, hi,
-                        preferred_element_type=jnp.float32,
-                    ) * 256.0 + jnp.einsum(
-                        "bdn,bd->bn", oh_bd, lo,
-                        preferred_element_type=jnp.float32,
-                    )
-                return jnp.round(out).astype(jnp.uint16)
+                hi = jnp.where(k_iota_row == sl_all[..., None], hi[..., None], zero)
+                lo = jnp.where(k_iota_row == sl_all[..., None], lo[..., None], zero)
+                out = jnp.einsum("bpn,bpk->bnk", onehot_nd, hi, **f32p) * 256.0 + (
+                    jnp.einsum("bpn,bpk->bnk", onehot_nd, lo, **f32p)
+                )
+            else:
+                out = jnp.einsum("bpn,bp->bn", onehot_nd, hi, **f32p) * 256.0 + (
+                    jnp.einsum("bpn,bp->bn", onehot_nd, lo, **f32p)
+                )
+            return jnp.round(out).astype(jnp.uint16)
 
-            tree = tree._replace(
-                edge_score=tree.edge_score + byte_einsum(e_delta, per_slot=True),
-                node_score=tree.node_score + byte_einsum(ns_delta, per_slot=False),
-            )
+        tree = tree._replace(
+            edge_score=tree.edge_score + byte_place(e_delta_p, per_slot=True),
+            node_score=tree.node_score + byte_place(ns_delta_p, per_slot=False),
+        )
 
         # per-phase counters (reference: SearchStats, Search.hpp:33-54)
         st = state.stats
-        i32 = lambda xs: sum(x.astype(jnp.int32) for x in xs)
         sw = solver_win_f.reshape(NSIM, bsz).astype(jnp.int32).sum(0)
         new_stats = SearchStats(
-            depth_sum=st.depth_sum + sum(s.steps for s in subs),
-            expansions=st.expansions + i32(do_expand_s),
-            transpositions=st.transpositions + i32(found_s),
-            duplicates=st.duplicates + i32(dup_s),
-            proven_revisits=st.proven_revisits + i32(revisit_s),
+            depth_sum=st.depth_sum + steps_bs.sum(1),
+            expansions=st.expansions + do_exp_bs.astype(jnp.int32).sum(1),
+            transpositions=st.transpositions + found_bs.astype(jnp.int32).sum(1),
+            duplicates=st.duplicates + dup_bs.astype(jnp.int32).sum(1),
+            proven_revisits=st.proven_revisits
+            + revisit_bs.astype(jnp.int32).sum(1),
             terminals=st.terminals
-            + i32([terminal_s[s] & subs[s].need_expand for s in range(NSIM)]),
+            + (term_bs & need_bs).astype(jnp.int32).sum(1),
             solver_wins=st.solver_wins + sw,
         )
 
