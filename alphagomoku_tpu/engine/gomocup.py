@@ -47,6 +47,7 @@ class GomocupProtocol(Protocol):
         ):
             self.register_input(name, self._make_info_option(name, value_opt))
         self.register_input("info game_type", lambda l: l.consume_line())
+        self.register_input("info evaluate", self._in_evaluate)
         self.register_input("info rule", self._in_rule)
         self.register_input("start", self._in_start)
         self.register_input("rectstart", self._in_rectstart)
@@ -137,6 +138,15 @@ class GomocupProtocol(Protocol):
             self.input_queue.push(Message(MessageType.SET_OPTION, (option, value)))
 
         return fn
+
+    def _in_evaluate(self, listener: InputListener) -> None:
+        """Per-move evaluation query answered from the last search's root
+        edges (reference: GomocupProtocol::info_evaluate,
+        GomocupProtocol.cpp:347-361)."""
+        data = self._extract_data(listener, "info evaluate")
+        self.input_queue.push(
+            Message(MessageType.START_SEARCH, f"evaluate {data.strip()}")
+        )
 
     def _in_rule(self, listener: InputListener) -> None:
         """(reference: GomocupProtocol.cpp:320-346 rule numbers)"""
@@ -324,6 +334,8 @@ class ExtendedGomocupProtocol(GomocupProtocol):
         self.register_input("longproboard", self._in_proboard)
         self.register_input("swapboard", self._in_swapboard)
         self.register_input("swap2board", self._in_swap2board)
+        self.register_input("swap5board", self._make_swapx("swap5"))
+        self.register_input("swap1stboard", self._make_swapx("swap1st"))
         # overrides the generic option forwarding registered above
         self.register_input("info analysis_mode", self._in_analysis_mode)
 
@@ -418,6 +430,23 @@ class ExtendedGomocupProtocol(GomocupProtocol):
             Message(MessageType.SET_POSITION, list(self.list_of_moves))
         )
         self.input_queue.push(Message(MessageType.START_SEARCH, "swap"))
+
+    def _make_swapx(self, mode: str):
+        """swap5/swap1st opening negotiations over the wire (the reference
+        ships Swap5Controller/Swap1stController but never dispatches them,
+        dispatcher.cpp:22-31; here they are reachable via SWAP5BOARD /
+        SWAP1STBOARD in the style of SWAPBOARD)."""
+
+        def fn(listener: InputListener) -> None:
+            listener.consume_line()
+            self.list_of_moves = self._read_ordered_moves(listener)
+            self.input_queue.push(Message(MessageType.STOP_SEARCH))
+            self.input_queue.push(
+                Message(MessageType.SET_POSITION, list(self.list_of_moves))
+            )
+            self.input_queue.push(Message(MessageType.START_SEARCH, mode))
+
+        return fn
 
     def _in_swap2board(self, listener: InputListener) -> None:
         """Swap2 opening negotiation (reference:

@@ -12,7 +12,7 @@ from __future__ import annotations
 import sys
 from typing import IO
 
-from ..game.types import GameRules, Move
+from ..game.types import CROSS, GameRules, Move
 from .engine import Engine
 from .gomocup import ExtendedGomocupProtocol, GomocupProtocol
 from .protocol import (
@@ -278,6 +278,101 @@ class ProgramManager:
                 self.output_queue.push(Message(MessageType.PLAIN_STRING, "SWAP"))
             else:
                 self.output_queue.push(Message(MessageType.BEST_MOVE, summary.best_move))
+        elif mode.startswith("swap5"):
+            # swap5 opening rule (reference: Swap5Controller.cpp:29-95;
+            # declared but not reachable from the reference's dispatcher —
+            # here it is a first-class search mode): stone 1 is random-ish,
+            # stones 1-4 offer a swap-or-balanced-move decision, stone 5
+            # answers with the best 6th move
+            must_play = mode.endswith("play")
+            n = len(engine.moves)
+            if n == 0:
+                import random as _random
+
+                r = _random.randrange(engine.rows)
+                c = _random.randrange(engine.cols)
+                self.output_queue.push(
+                    Message(MessageType.BEST_MOVE, Move(row=r, col=c, sign=CROSS))
+                )
+            elif n <= 4:
+                summary = engine.search(self._time_budget_s(), selector="balanced")
+                if summary.expectation < 0.5 and not must_play:
+                    self.output_queue.push(Message(MessageType.PLAIN_STRING, "SWAP"))
+                else:
+                    self.output_queue.push(
+                        Message(MessageType.BEST_MOVE, summary.best_move)
+                    )
+            else:
+                summary = engine.search(self._time_budget_s())
+                self.output_queue.push(Message(MessageType.BEST_MOVE, summary.best_move))
+        elif mode == "swap1st":
+            # swap1st opening rule (reference: Swap1stController.cpp:21-66):
+            # evaluate the opponent's first stone and swap when behind (the
+            # reference's first-stone placement is an unimplemented TODO; a
+            # balanced random central stone is played here instead)
+            n = len(engine.moves)
+            if n == 0:
+                import random as _random
+
+                r = engine.rows // 2 + _random.randrange(-2, 3)
+                c = engine.cols // 2 + _random.randrange(-2, 3)
+                self.output_queue.push(
+                    Message(MessageType.BEST_MOVE, Move(row=r, col=c, sign=CROSS))
+                )
+            else:
+                summary = engine.search(self._time_budget_s())
+                if summary.expectation < 0.5:
+                    self.output_queue.push(Message(MessageType.PLAIN_STRING, "SWAP"))
+                else:
+                    self.output_queue.push(
+                        Message(MessageType.BEST_MOVE, summary.best_move)
+                    )
+        elif mode.startswith("evaluate"):
+            # answer the per-move evaluation from the last search's root
+            # edges without searching (reference:
+            # GomocupProtocol::info_evaluate + get_evaluation_string,
+            # GomocupProtocol.cpp:21-40,347-361)
+            try:
+                r, c = (int(x) for x in mode.split()[1].split(","))
+            except (IndexError, ValueError):
+                self.output_queue.push(Message(MessageType.INFO_MESSAGE, ""))
+                return
+            root = getattr(engine, "_last_root", None)
+            text = ""
+            if root is not None:
+                import numpy as np
+
+                a = r * engine.cols + c
+                idx = np.where(root["actions"].astype(np.int64) == a)[0]
+                if len(idx):
+                    i = int(idx[0])
+                    es = int(root["escore"][i])
+                    pv = (es >> 13) & 7
+                    n = float(root["visits"][i])
+                    if pv != 2 and es not in (0x0000, 0xFFFF):  # proven
+                        dist = abs((es & 0x1FFF) - 4000)
+                        name = {0: "LOSS", 1: "DRAW", 3: "WIN"}[pv]
+                        text = f"ev {name} in {dist}"
+                    else:
+                        q = (
+                            (root["vsum"][i, 0] + 0.5 * root["vsum"][i, 1])
+                            / max(n, 1.0)
+                        )
+                        text = f"ev {100.0 * q:.2f}%"
+                    # winrate/drawrate suffix (reference:
+                    # get_evaluation_string, GomocupProtocol.cpp:21-40)
+                    text += " winrate {:.2f}% drawrate {:.2f}%".format(
+                        100.0 * root["vsum"][i, 0] / max(n, 1.0),
+                        100.0 * root["vsum"][i, 1] / max(n, 1.0),
+                    )
+            self.output_queue.push(Message(MessageType.INFO_MESSAGE, text))
+        elif mode == "rif":
+            # the reference declares RIFController but ships no
+            # implementation and never dispatches it (RIFController.hpp
+            # only); acknowledged-unsupported to match
+            self.output_queue.push(
+                Message(MessageType.ERROR, "RIF opening rule is not supported")
+            )
         elif mode.startswith("swap2") or mode.startswith("balance"):
             # balancing searches pick the closest-to-draw move
             # (reference: Swap2Controller + BalancedSelector,

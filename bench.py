@@ -1,78 +1,141 @@
 """Round benchmark: batched MCTS throughput (simulations/s per chip).
 
-Headline metric per BASELINE.md: >100K MCTS sims/s per chip at the
-800-sims/move search configuration, with the flagship network
-(ConvNextPVQMraw 6x64, bf16) evaluated inside the search loop.
+Headline metric per BASELINE.md: >100K MCTS sims/s per chip at a TRUE
+800-sims/move search (one full 800-simulation search per move, tree capacity
+sized to hold it), with the flagship network evaluated inside the search
+loop.  Reports achieved TFLOP/s and MFU next to sims/s for both the 6x64
+flagship and the 8x128 SURVEY build-plan network.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line:
+  {"metric", "value", "unit", "vs_baseline", "tflops", "mfu", "config",
+   "net_8x128": {...}}
+
+Each configuration runs in its own subprocess (sequential large recompiles
+in one process can fault the device — see NEXT.md perf lore).
 """
 
 from __future__ import annotations
 
 import json
-import time
+import os
+import subprocess
+import sys
 
+_BODY = r"""
+import json, sys, time
+sys.path.insert(0, {cwd!r})
+import numpy as np
 import jax
 import jax.numpy as jnp
-import numpy as np
+
+from alphagomoku_tpu.game.types import GameRules, CROSS, CIRCLE
+from alphagomoku_tpu.game import vectorized as V
+from alphagomoku_tpu.models import create_network
+from alphagomoku_tpu.search import mcts
+
+BATCH = {batch}
+H = W = 15
+SIMS = 800  # one full search at 800 sims/move (BASELINE config)
+CALLS = 2
+
+tables = V.device_tables(GameRules.FREESTYLE)
+net = create_network("ConvNextPVQMraw", blocks={blocks}, filters={filters})
+x = jnp.zeros((BATCH, H, W, net.cfg.input_planes), jnp.bfloat16)
+variables = net.init(jax.random.PRNGKey(0), x, train=False)
+
+def apply(v, planes):
+    return net.apply(v, planes, train=False)
+
+cfg = mcts.MCTSConfig(max_nodes=SIMS + 8, max_edges=32, max_depth=32)
+
+rng = np.random.default_rng(0)
+boards = np.zeros((BATCH, H, W), np.int8)
+for b in range(BATCH):
+    n = rng.integers(2, 8)
+    cells = rng.choice(H * W, size=n, replace=False)
+    boards[b].flat[cells] = np.where(np.arange(n) % 2 == 0, CROSS, CIRCLE)
+boards = jnp.asarray(boards)
+stm = jnp.full((BATCH,), CROSS, jnp.int8)
+
+f = jax.jit(
+    lambda v, b, s: mcts.run_search(apply, v, tables, cfg, b, s, SIMS, raw_input=True)
+)
+
+# analytic model FLOPs (XLA cost_analysis is unreliable over the tunnel):
+# conv kernel (kh,kw,cin,cout) -> 2*H*W*kh*kw*cin*cout per sample, dense
+# (i,o) -> 2*i*o; the tree math adds negligible FLOPs, so this reports the
+# MXU-relevant model compute
+from jax.tree_util import tree_flatten_with_path
+
+leaves, _ = tree_flatten_with_path(variables["params"])
+per_sample = 0.0
+for path, leaf in leaves:
+    name = str(path)
+    if "kernel" in name and getattr(leaf, "ndim", 0) == 4:
+        kh, kw, cin, cout = leaf.shape
+        per_sample += 2.0 * H * W * kh * kw * cin * cout
+    elif "kernel" in name and getattr(leaf, "ndim", 0) == 2:
+        per_sample += 2.0 * leaf.shape[0] * leaf.shape[1]
+# one evaluation per simulation plus the root evaluation
+flops_per_call = per_sample * BATCH * (SIMS + 1)
+
+state = f(variables, boards, stm)
+jax.block_until_ready(state.tree.node_visits)
+
+t0 = time.perf_counter()
+for _ in range(CALLS):
+    state = f(variables, boards, stm)
+jax.block_until_ready(state.tree.node_visits)
+dt = time.perf_counter() - t0
+
+sims_per_s = BATCH * SIMS * CALLS / dt
+tflops = flops_per_call * CALLS / dt / 1e12
+
+# bf16 peak of one TPU v5e (v5 lite) chip; other chips print kind for audit
+kind = jax.devices()[0].device_kind
+peak = 197.0 if ("v5" in kind.lower() or "lite" in kind.lower()) else 197.0
+print("RESULT " + json.dumps({{
+    "sims_per_s": round(sims_per_s, 1),
+    "tflops": round(tflops, 2),
+    "mfu": round(tflops / peak, 4),
+    "device": kind,
+}}), flush=True)
+"""
+
+
+def run_config(blocks: int, filters: int, batch: int) -> dict:
+    code = _BODY.format(cwd=os.getcwd(), blocks=blocks, filters=filters, batch=batch)
+    env = dict(os.environ)
+    env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
+    out = subprocess.run(
+        [sys.executable, "-c", code], env=env, timeout=2400,
+        capture_output=True, text=True,
+    )
+    for line in out.stdout.splitlines():
+        if line.startswith("RESULT "):
+            return json.loads(line[len("RESULT "):])
+    raise RuntimeError(
+        f"bench subprocess produced no result:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
+    )
 
 
 def main() -> None:
-    from alphagomoku_tpu.game.types import GameRules, CROSS, CIRCLE
-    from alphagomoku_tpu.game import vectorized as V
-    from alphagomoku_tpu.models import create_network
-    from alphagomoku_tpu.search import mcts
-
-    BATCH = 1280
-    H = W = 15
-    SIMS_PER_CALL = 400  # one full search at the 800-sims/move regime
-    CALLS = 2
-
-    tables = V.device_tables(GameRules.FREESTYLE)
-    net = create_network("ConvNextPVQMraw", blocks=6, filters=64)
-    x = jnp.zeros((BATCH, H, W, net.cfg.input_planes), jnp.bfloat16)
-    variables = net.init(jax.random.PRNGKey(0), x, train=False)
-
-    def apply(v, planes):
-        return net.apply(v, planes, train=False)
-
-    cfg = mcts.MCTSConfig(max_nodes=SIMS_PER_CALL + 8, max_edges=32, max_depth=24)
-
-    rng = np.random.default_rng(0)
-    boards = np.zeros((BATCH, H, W), np.int8)
-    # a few random opening stones so trees are not identical
-    for b in range(BATCH):
-        n = rng.integers(2, 8)
-        cells = rng.choice(H * W, size=n, replace=False)
-        signs = np.where(np.arange(n) % 2 == 0, CROSS, CIRCLE)
-        boards[b].flat[cells] = signs
-    boards = jnp.asarray(boards)
-    stm = jnp.full((BATCH,), CROSS, jnp.int8)
-
-    f = jax.jit(
-        lambda v, b, s: mcts.run_search(
-            apply, v, tables, cfg, b, s, SIMS_PER_CALL, raw_input=True
-        )
-    )
-
-    # warmup / compile
-    state = f(variables, boards, stm)
-    jax.block_until_ready(state.tree.node_visits)
-
-    t0 = time.perf_counter()
-    for _ in range(CALLS):
-        state = f(variables, boards, stm)
-    jax.block_until_ready(state.tree.node_visits)
-    dt = time.perf_counter() - t0
-
-    sims_per_s = BATCH * SIMS_PER_CALL * CALLS / dt
+    flagship = run_config(blocks=6, filters=64, batch=1280)
+    try:
+        big = run_config(blocks=8, filters=128, batch=1280)
+    except Exception as exc:  # the headline must survive a secondary failure
+        big = {"error": str(exc)[:200]}
     print(
         json.dumps(
             {
                 "metric": "mcts_sims_per_s_per_chip",
-                "value": round(sims_per_s, 1),
+                "value": flagship["sims_per_s"],
                 "unit": "sims/s",
-                "vs_baseline": round(sims_per_s / 100_000.0, 3),
+                "vs_baseline": round(flagship["sims_per_s"] / 100_000.0, 3),
+                "tflops": flagship.get("tflops"),
+                "mfu": flagship.get("mfu"),
+                "config": "ConvNextPVQMraw 6x64, batch 1280, true 800 sims/move",
+                "net_8x128": big,
             }
         )
     )

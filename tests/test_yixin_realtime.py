@@ -86,3 +86,78 @@ def test_realtime_dropped_by_gomocup():
     oq.push(Message(MessageType.REALTIME_INFO, {"seq": 0, "edges": [], "losing": [], "best": None}))
     proto.process_output(OutputSender(sent.append))
     assert sent == []
+
+
+def test_swap5_and_swap1st_modes():
+    """swap5/swap1st controller semantics through the manager (reference:
+    Swap5Controller.cpp:29-95, Swap1stController.cpp:21-66)."""
+    import io
+    import re
+
+    from alphagomoku_tpu.engine.manager import ProgramManager
+
+    out = io.StringIO()
+    mgr = ProgramManager(
+        protocol="extended", architecture="FastPolicy", blocks=1, filters=8,
+        simulations=8, instream=None, outstream=out,
+    )
+    mgr.options["rows"] = mgr.options["columns"] = "9"
+    mgr.options["time_for_turn"] = "200"
+
+    # empty board: swap5 places the first stone immediately
+    from alphagomoku_tpu.engine.protocol import Message, MessageType
+
+    mgr.process_message(Message(MessageType.SET_POSITION, []))
+    mgr.process_message(Message(MessageType.START_SEARCH, "swap5"))
+    mgr.protocol.process_output(mgr.sender)
+    assert re.search(r"^\d+,\d+$", out.getvalue(), re.M)
+
+    # one stone on board: swap1st answers SWAP or a move
+    from alphagomoku_tpu.game.types import CROSS, Move
+
+    out.truncate(0), out.seek(0)
+    mgr.process_message(
+        Message(MessageType.SET_POSITION, [Move(row=4, col=4, sign=CROSS)])
+    )
+    mgr.process_message(Message(MessageType.START_SEARCH, "swap1st"))
+    mgr.protocol.process_output(mgr.sender)
+    text = out.getvalue()
+    assert "SWAP" in text or re.search(r"^\d+,\d+$", text, re.M), text
+
+    # RIF is acknowledged-unsupported, like the reference's header-only stub
+    out.truncate(0), out.seek(0)
+    mgr.process_message(Message(MessageType.START_SEARCH, "rif"))
+    mgr.protocol.process_output(mgr.sender)
+    assert "not supported" in out.getvalue()
+
+
+def test_info_evaluate_answers_from_last_search():
+    """info evaluate replies with the queried move's evaluation from the
+    last search root (reference: GomocupProtocol.cpp:347-361)."""
+    import io
+    import re
+
+    from alphagomoku_tpu.engine.manager import ProgramManager
+    from alphagomoku_tpu.engine.protocol import Message, MessageType
+    from alphagomoku_tpu.game.types import CROSS, Move
+
+    out = io.StringIO()
+    mgr = ProgramManager(
+        protocol="gomocup", architecture="FastPolicy", blocks=1, filters=8,
+        simulations=8, instream=None, outstream=out,
+    )
+    mgr.options["rows"] = mgr.options["columns"] = "9"
+    mgr.options["time_for_turn"] = "200"
+    mgr.process_message(Message(MessageType.SET_POSITION, [Move(row=4, col=4, sign=CROSS)]))
+    mgr.process_message(Message(MessageType.START_SEARCH, "bestmove"))
+    out.truncate(0), out.seek(0)
+
+    # query the move the engine just considered
+    mv = mgr.engine._last_root["actions"]
+    a = int(mv[mv >= 0][0])
+    r, c = a // 9, a % 9
+    mgr.protocol.push_line(f"info evaluate {r},{c}") if hasattr(mgr.protocol, "push_line") else None
+    mgr.process_message(Message(MessageType.START_SEARCH, f"evaluate {r},{c}"))
+    mgr.protocol.process_output(mgr.sender)
+    text = out.getvalue()
+    assert re.search(r"MESSAGE ev (\d+\.\d+%|WIN|LOSS|DRAW)", text), text
