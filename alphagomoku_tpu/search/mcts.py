@@ -1592,6 +1592,12 @@ def run_search(
         net_apply, variables, tables, cfg, board, stm, raw_input, noise_key,
         root_move_mask,
     )
+    # The freshly-initialized tree arrays are mostly broadcast constants;
+    # without a barrier XLA SINKS them into the simulation loop and
+    # re-applies `select(step==0, init, carry)` over every big edge array on
+    # EVERY step (~2 ms/step of pure waste at the bench config).  The
+    # barrier forces one materialization before the scan.
+    state = jax.lax.optimization_barrier(state)
     simulate = make_simulate_fn(
         net_apply, tables, cfg, raw_input, tp_params=tp_params, nnue=nnue
     )
