@@ -564,6 +564,9 @@ def make_simulate_fn(
     D = cfg.max_depth
     K = cfg.max_edges
     NSIM = max(1, cfg.leaf_batch)
+    needs_q_init = cfg.init_to == "q_head" or cfg.policy in (
+        "puct_variance", "learnable"
+    )
 
     class _Sub(NamedTuple):
         leaf: jax.Array  # [B]
@@ -670,8 +673,14 @@ def make_simulate_fn(
              pn, ps, _) = out
             pn_t, ps_t = pn.T, ps.T
             last_i = jnp.clip(steps - 1, 0, D - 1)
-            last_node = jnp.where(steps > 0, pn_t[b, last_i], NULL)
-            last_slot = jnp.where(steps > 0, ps_t[b, last_i], 0)
+            # mask-reduce pick along D (per-row gathers serialize on TPU)
+            lhit = jnp.arange(D, dtype=jnp.int32)[None, :] == last_i[:, None]
+            last_node = jnp.where(
+                steps > 0, jnp.where(lhit, pn_t, 0).sum(-1), NULL
+            )
+            last_slot = jnp.where(
+                steps > 0, jnp.where(lhit, ps_t, 0).sum(-1), 0
+            )
             return _Sub(
                 leaf, sim_board, leaf_stm, steps, need_expand, last_r, last_c,
                 pn_t, ps_t, last_node, last_slot,
@@ -825,14 +834,30 @@ def make_simulate_fn(
             policy_f, analysis_f.restrict, K, cfg.policy_expansion_temperature
         )
         actions_f = jnp.where((~terminal_f)[:, None], actions_f, NULL)
-        qv_f = q_expect_f.reshape(-1, h * w)
         safe_f = jnp.clip(actions_f, 0, h * w - 1)
-        q_init_f = jnp.where(
-            actions_f != NULL, jnp.take_along_axis(qv_f, safe_f, -1), 0.0
+        if needs_q_init:
+            qv_f = q_expect_f.reshape(-1, h * w)
+            q_init_f = jnp.where(
+                actions_f != NULL, jnp.take_along_axis(qv_f, safe_f, -1), 0.0
+            )
+        else:
+            q_init_f = jnp.zeros(actions_f.shape, jnp.float32)
+        # one-hot byte-split dot instead of a per-row gather (row gathers run
+        # ~10x slower than this tiny contraction on the v5e)
+        oh_act = (
+            safe_f[:, :, None]
+            == jnp.arange(h * w, dtype=jnp.int32)[None, None, :]
+        ).astype(jnp.bfloat16)  # [S*B, K, HW]
+        as32 = analysis_f.action_scores.reshape(-1, h * w).astype(jnp.int32)
+        es_hi = jnp.einsum(
+            "bka,ba->bk", oh_act, ((as32 >> 8) & 0xFF).astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
         )
-        escore0_f = jnp.take_along_axis(
-            analysis_f.action_scores.reshape(-1, h * w), safe_f, -1
+        es_lo = jnp.einsum(
+            "bka,ba->bk", oh_act, (as32 & 0xFF).astype(jnp.bfloat16),
+            preferred_element_type=jnp.float32,
         )
+        escore0_f = jnp.round(es_hi * 256.0 + es_lo).astype(jnp.int32)
         last_cell_f = ((boards_f == V.NONE).sum((1, 2)) <= 1)[:, None]
         escore0_f = jnp.where(
             last_cell_f & ~S.is_proven(escore0_f), S.draw_in(1), escore0_f
@@ -962,9 +987,6 @@ def make_simulate_fn(
         # broadcast where-write.  Several subs: exact one-hot byte-split
         # einsum placement (new nodes have distinct indices, so the sum
         # places each row exactly once) — the kernel count stays flat in S.
-        needs_q_init = cfg.init_to == "q_head" or cfg.policy in (
-            "puct_variance", "learnable"
-        )
         import jax.lax as lax
 
         if NSIM == 1:
@@ -1244,7 +1266,8 @@ def make_simulate_fn(
             pscore = S.invert_up(child_score)
             old_e = es_rows[:, :, d, :]  # [B, S, K]
             sl = sl_sd[:, :, d]
-            e_at_slot = jnp.take_along_axis(old_e, sl[..., None], -1)[..., 0]
+            slh = k_iota[None, None, :] == sl[..., None]
+            e_at_slot = jnp.where(slh, old_e, 0).sum(-1).astype(jnp.uint16)
             e_new = jnp.where(
                 vd & S.is_proven(pscore), pscore, e_at_slot
             ).astype(jnp.uint16)
@@ -1269,9 +1292,15 @@ def make_simulate_fn(
         # [D, B, S] (reversed) -> [B, P]
         e_new_p = e_new_all[::-1].transpose(1, 2, 0).reshape(bsz, P)
         ns_new_p = ns_new_all[::-1].transpose(1, 2, 0).reshape(bsz, P)
-        e_old_p = jnp.take_along_axis(
-            es_rows.reshape(bsz, P, K), sl_all[..., None], -1
-        )[..., 0]
+        e_old_p = (
+            jnp.where(
+                k_iota[None, None, :] == sl_all[..., None],
+                es_rows.reshape(bsz, P, K),
+                0,
+            )
+            .sum(-1)
+            .astype(jnp.uint16)
+        )
         ns_old_p = ns_rows.reshape(bsz, P)
 
         def dedup_claims(key_p, new_p, old_p):
