@@ -1261,37 +1261,21 @@ def make_simulate_fn(
         ).reshape(bsz, NSIM, D)
         ns_rows = byte_read_p(tree.node_score, False).reshape(bsz, NSIM, D)
 
-        def score_step(child_score, d):  # child_score [B, S]
-            vd = valid_sd[:, :, d]
-            pscore = S.invert_up(child_score)
-            old_e = es_rows[:, :, d, :]  # [B, S, K]
-            sl = sl_sd[:, :, d]
-            slh = k_iota[None, None, :] == sl[..., None]
-            e_at_slot = jnp.where(slh, old_e, 0).sum(-1).astype(jnp.uint16)
-            e_new = jnp.where(
-                vd & S.is_proven(pscore), pscore, e_at_slot
-            ).astype(jnp.uint16)
-            row = jnp.where(
-                k_iota[None, None, :] == sl[..., None], e_new[..., None], old_e
-            )
-            ea = ea_rows[:, :, d, :]
-            best = jnp.max(jnp.where(ea, row, minus_inf), -1).astype(jnp.uint16)
-            all_proven = jnp.all(S.is_proven(row) | ~ea, -1)
-            provable = S.is_win(best) | (
-                all_proven & comp_rows[:, :, d] & S.is_proven(best)
-            )
-            ns_new = jnp.where(vd & provable, best, ns_rows[:, :, d]).astype(
-                jnp.uint16
-            )
-            nxt = jnp.where(vd, ns_new, child_score)
-            return nxt, (e_new, ns_new)
+        # backward minimax over all paths in ONE Pallas kernel (the lax.scan
+        # form dispatches ~4 tiny kernels per level; ops/score_scan.py)
+        from ..ops.score_scan import score_scan as _score_scan
 
-        _, (e_new_all, ns_new_all) = jax.lax.scan(
-            score_step, start_score_bs, jnp.arange(D - 1, -1, -1)
+        e_new_bp, ns_new_bp = _score_scan(
+            start_score_bs.reshape(bsz * NSIM),
+            valid_sd.reshape(bsz * NSIM, D),
+            sl_sd.reshape(bsz * NSIM, D),
+            es_rows.reshape(bsz * NSIM, D, K),
+            ea_rows.reshape(bsz * NSIM, D, K),
+            jnp.broadcast_to(comp_rows, (bsz, NSIM, D)).reshape(bsz * NSIM, D),
+            ns_rows.reshape(bsz * NSIM, D),
         )
-        # [D, B, S] (reversed) -> [B, P]
-        e_new_p = e_new_all[::-1].transpose(1, 2, 0).reshape(bsz, P)
-        ns_new_p = ns_new_all[::-1].transpose(1, 2, 0).reshape(bsz, P)
+        e_new_p = e_new_bp.reshape(bsz, P)
+        ns_new_p = ns_new_bp.reshape(bsz, P)
         e_old_p = (
             jnp.where(
                 k_iota[None, None, :] == sl_all[..., None],
