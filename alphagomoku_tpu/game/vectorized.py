@@ -554,8 +554,15 @@ def forbidden_plane(tables: RuleTables, board: jax.Array, depth: int = 2) -> jax
     planes and move generation.  Non-renju rules return all-false.
 
     Naive threats come from the gather-free all-cells path; only cells whose
-    naive threat is FORK_3x3 need per-cell resolution (rare), handled for up
-    to 12 fork cells per board in one widened batched pass.
+    naive threat is FORK_3x3 need per-cell resolution.  Fork cells are rare
+    (~0.03/board in random play), so the resolution compacts them GLOBALLY
+    across the batch — top-k over the flattened [B*H*W] fork mask — and runs
+    the deep check on at most 128 (query, owner-board) pairs total, instead
+    of a fixed per-board block.  That keeps the x16-per-level recursion
+    widening on a ~128-row batch rather than B*12 rows (a ~100x cut at
+    batch 1024).  Overflow cells past the global cap keep the naive
+    (conservative: forbidden) answer; tools/parity_fuzz.py measures the
+    bound.
     """
     from ..patterns import bitwise  # deferred: avoids import cycle at load
 
@@ -572,17 +579,33 @@ def forbidden_plane(tables: RuleTables, board: jax.Array, depth: int = 2) -> jax
     fork = empty & (threat == T.TT_FORK_3x3)
 
     def resolve(_):
-        max_forks = 12
-        flat = fork.reshape(bsz, h * w)
-        vals, idxs = jax.lax.top_k(flat.astype(jnp.int32), max_forks)  # [B, K]
-        r, c = idxs // w, idxs % w
-        # queries are already compacted to fork cells; the recursion's own
-        # per-level compaction still bounds the nested levels
-        f = is_forbidden(tables, board, r, c, depth, max_forks=None)  # [B, K]
+        K = min(128, bsz * h * w)
+        flat = fork.reshape(bsz * h * w)
+        vals, idxs = jax.lax.top_k(flat.astype(jnp.int32), K)  # [K]
+        bidx = idxs // (h * w)
+        cell = idxs % (h * w)
+        r, c = cell // w, cell % w
+        # gather each query's owner board with a one-hot dot (per-row gathers
+        # serialize on TPU; board values 0..2 are exact in bf16)
+        onehot = (bidx[:, None] == jnp.arange(bsz, dtype=jnp.int32)[None, :])
+        gboards = (
+            jnp.einsum(
+                "kb,bx->kx",
+                onehot.astype(jnp.bfloat16),
+                board.reshape(bsz, h * w).astype(jnp.bfloat16),
+            )
+            .astype(jnp.int8)
+            .reshape(K, h, w)
+        )
+        f = is_forbidden(
+            tables, gboards, r[:, None], c[:, None], depth, max_forks=None
+        )[:, 0]
         f = f & (vals > 0)
-        res = jnp.zeros((bsz, h * w), bool)
-        res = res.at[jnp.arange(bsz)[:, None], idxs].max(f)
-        return res.reshape(bsz, h, w)
+        # scatter the verdicts back with a compare-any (no per-row scatter)
+        res = ((idxs[:, None] == jnp.arange(bsz * h * w)) & f[:, None]).any(0)
+        covered = ((idxs[:, None] == jnp.arange(bsz * h * w)) & (vals > 0)[:, None]).any(0)
+        # overflow past the global cap keeps the naive (forbidden) answer
+        return (res | (flat & ~covered)).reshape(bsz, h, w)
 
     resolved_forks = jax.lax.cond(
         jnp.any(fork), resolve, lambda _: jnp.zeros((bsz, h, w), bool), operand=None
