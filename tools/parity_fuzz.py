@@ -7,7 +7,7 @@ Checks per position:
   threats   — per-cell ThreatType, both signs (host numpy path)
   outcome   — getOutcome after a probe move (host exact + jit outcome_after)
   forbidden — renju isForbidden per empty cell (host exact + jit
-              forbidden_plane with its depth-2/16-cand/12-fork bounds)
+              forbidden_plane with its depth-2/16-cand/global-128-fork bounds)
 
 Host paths must diverge ZERO times; jit divergence is measured and reported
 (the bounded-recursion approximations, game/vectorized.py:279,329,510).
