@@ -214,6 +214,48 @@ def _parse_record_v201(buf: memoryview, off: int, hw: int):
     return rec, off
 
 
+def _serialize_record_v200(rec: SearchRecord, out: bytearray) -> None:
+    """v200 record = v201 minus the trailing flags u16
+    (SearchDataStorage_v2::loadFrom + serialize, SearchDataStorage.cpp:166-280).
+    The scale/entry math is shared with the v201 writer."""
+    tmp = bytearray()
+    _serialize_record_v201(rec, tmp)
+    # v201 header: vs, ps, vis, score, move#, flags (6 u16) — drop flags
+    out += tmp[:10]
+    out += tmp[12:]
+
+
+def _parse_record_v200(buf: memoryview, off: int, hw: int):
+    vs, ps, vis, score, move_number = struct.unpack_from("<HHHHH", buf, off)
+    off += 10
+    value_scale = FP16.to_fp32(vs)
+    policy_scale = FP16.to_fp32(ps)
+    visit_scale = FP16.to_fp32(vis)
+    (count,) = struct.unpack_from("<I", buf, off)
+    off += 4
+    rec = SearchRecord(
+        visit_count=np.zeros(hw, np.int32),
+        policy_prior=np.zeros(hw, np.float32),
+        win_rate=np.zeros(hw, np.float32),
+        draw_rate=np.zeros(hw, np.float32),
+        action_scores=np.full(hw, score_u16(PV_UNKNOWN, 0), np.uint16),
+        minimax_score=score,
+        move_number=move_number,
+        flags=0,
+    )
+    idx = 0
+    for _ in range(count):
+        d, v, p, s8, wr, dr = struct.unpack_from("<6B", buf, off)
+        off += 6
+        idx += d
+        rec.visit_count[idx] = int(VISIT.to_fp32(v) * visit_scale + 0.5)
+        rec.policy_prior[idx] = POLICY.to_fp32(p) * policy_scale
+        rec.win_rate[idx] = VALUE.to_fp32(wr) * value_scale
+        rec.draw_rate[idx] = VALUE.to_fp32(dr) * value_scale
+        rec.action_scores[idx] = int8_to_score(s8)
+    return rec, off
+
+
 def _serialize_record_v1(rec: SearchRecord, out: bytearray) -> None:
     """v100: 12-byte entries, 16-bit CompressedFloats
     (SearchDataStorage::serialize, :79-140)."""
@@ -272,6 +314,8 @@ def _serialize_game(game: GameData, fmt: int, out: bytearray) -> None:
     for rec in game.records:
         if fmt == 201:
             _serialize_record_v201(rec, out)
+        elif fmt == 200:
+            _serialize_record_v200(rec, out)
         elif fmt == 100:
             _serialize_record_v1(rec, out)
         else:
@@ -298,6 +342,8 @@ def parse_game(buf: memoryview, off: int, fmt: int, hw: int) -> tuple[GameData, 
     for _ in range(n_states):
         if fmt == 201:
             rec, off = _parse_record_v201(buf, off, hw)
+        elif fmt == 200:
+            rec, off = _parse_record_v200(buf, off, hw)
         elif fmt == 100:
             rec, off = _parse_record_v1(buf, off, hw)
         else:

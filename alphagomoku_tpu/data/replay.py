@@ -9,9 +9,10 @@ flavors (policy target from visit counts vs from action values,
 reference: src/dataset/Sampler.cpp:29-37).
 
 Buffers persist as compressed .npz per generation
-(reference: zlib-backed buffer_N.bin, GameDataBuffer.hpp:22-63); the binary
-v100/v200/v201 formats are not byte-replicated — capability parity is the
-sample content, format compat tooling can be added on demand.
+(reference: zlib-backed buffer_N.bin, GameDataBuffer.hpp:22-63).  The
+reference's binary v100/v200/v201 formats are byte-replicated separately in
+`data/formats.py` (oracle-verified) for interchange with the C++ engine;
+this module's native storage is flat arrays for fast batched sampling.
 """
 
 from __future__ import annotations

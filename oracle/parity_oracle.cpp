@@ -194,11 +194,12 @@ int main()
 			// byte-parity fuzz of the dataset record serialization:
 			// deterministically fill a SearchDataPack from an LCG seed
 			// (replicated in tools/parity_fuzz.py) and dump the serialized
-			// v201 record as hex (reference: SearchDataStorage_v201
-			// loadFrom+serialize, SearchDataStorage.cpp:326-419)
+			// record as hex.  Optional trailing version selects the storage
+			// class: 201 (default, SearchDataStorage_v201, .cpp:326-419) or
+			// 200 (SearchDataStorage_v2, .cpp:166-280)
 			uint64_t seed;
-			int rows, cols;
-			ss >> seed >> rows >> cols;
+			int rows, cols, version = 201;
+			ss >> seed >> rows >> cols >> version;
 			uint64_t s64 = seed;
 			auto next = [&s64]() {
 				s64 = s64 * 6364136223846793005ULL + 1442695040888963407ULL;
@@ -226,10 +227,19 @@ int main()
 				}
 			}
 			pack.minimax_score = Score(static_cast<int>(next() % 2001) - 1000);
-			SearchDataStorage_v201 storage;
-			storage.loadFrom(pack);
 			SerializedObject so;
-			storage.serialize(so);
+			if (version == 200)
+			{
+				SearchDataStorage_v2 storage;
+				storage.loadFrom(pack);
+				storage.serialize(so);
+			}
+			else
+			{
+				SearchDataStorage_v201 storage;
+				storage.loadFrom(pack);
+				storage.serialize(so);
+			}
 			std::ostringstream out;
 			static const char *hex = "0123456789abcdef";
 			for (size_t i = 0; i < so.size(); i++)

@@ -59,7 +59,9 @@ def _random_game(rng, hw=81, n_moves=12, fmt=201):
     return F.GameData(records, moves, outcome=2, rows=9, cols=9)
 
 
-@pytest.mark.parametrize("fmt,compress", [(201, True), (201, False), (100, True)])
+@pytest.mark.parametrize(
+    "fmt,compress", [(201, True), (201, False), (200, True), (100, True)]
+)
 def test_buffer_roundtrip(tmp_path, fmt, compress):
     rng = np.random.default_rng(0)
     games = [_random_game(rng, fmt=fmt) for _ in range(3)]
@@ -122,8 +124,9 @@ def test_v201_byte_parity_vs_reference_oracle():
     rows = cols = 15
     hw = rows * cols
     f32 = np.float32
-    for seed in (1, 7, 1234, 999983):
-        proc.stdin.write(f"datapack {seed} {rows} {cols}\n")
+    for seed, version in [(1, 201), (7, 201), (1234, 201), (999983, 201),
+                          (1, 200), (7, 200), (1234, 200), (999983, 200)]:
+        proc.stdin.write(f"datapack {seed} {rows} {cols} {version}\n")
         proc.stdin.flush()
         ref_hex = proc.stdout.readline().strip()
 
@@ -158,8 +161,11 @@ def test_v201_byte_parity_vs_reference_oracle():
         # the oracle pack has an empty board, so move_number stays 0
 
         out = bytearray()
-        F._serialize_record_v201(rec, out)
-        assert out.hex() == ref_hex, f"seed {seed}: byte divergence"
+        if version == 200:
+            F._serialize_record_v200(rec, out)
+        else:
+            F._serialize_record_v201(rec, out)
+        assert out.hex() == ref_hex, f"seed {seed} v{version}: byte divergence"
 
     proc.stdin.write("quit\n")
     proc.stdin.flush()
