@@ -1,23 +1,30 @@
-"""Paired-game match evaluation: two engines, same openings, colors swapped.
+"""Paired-game match evaluation: engines play the same openings, colors swapped.
 
 TPU-native counterpart of the reference's evaluation stack
 (reference: src/evaluation/{EvaluationManager,EvaluationThread,
 EvaluationGame,TwoMatch}.cpp): instead of evaluator threads multiplexing
-game state machines onto two NN evaluators, a lockstep batch of 2G games is
-laid out so that at every ply exactly one contiguous half is to-move for
-each engine — each ply is then two batched searches (one per network), no
-wasted evaluations, everything jitted.
+game state machines onto two NN evaluators, a lockstep batch of games is
+laid out so that at every ply one contiguous half per opponent block is
+to-move for each engine — each ply is then batched searches (one fused
+search for the candidate across ALL opponent blocks, one per opponent),
+no wasted evaluations, everything jitted.
 
 Game pair i: game i has engine A as cross, game G+i has engine B as cross,
 both replay the same opening (reference: TwoMatch.hpp:16-26).  Scoring is
 pentanomial over pairs (0, 1, 2, 3, 4 points) feeding Elo and GSPRT
 (reference: src/tuning/GSPRT.cpp convert_match_results).
+
+Multi-opponent rating (reference: EvaluationManager with a different second
+player per thread, EvaluationManager.hpp:29-52 + setSecondPlayer per-thread
+overload) is `play_multi_match`: one candidate against K opponents in one
+lockstep run; the candidate's K*G to-move boards are searched as a single
+batch per ply.
 """
 
 from __future__ import annotations
 
 import math
-from typing import Any, Callable, NamedTuple
+from typing import Any, Callable, NamedTuple, Sequence
 
 import jax
 import jax.numpy as jnp
@@ -34,7 +41,18 @@ class MatchResult(NamedTuple):
     score_a: float  # A's match score in [0, 1]
     elo_a: float  # Elo of A vs B
     game_lengths: np.ndarray  # [2G]
-    truncated: int = 0  # games cut at max_moves and scored as draws
+    truncated: int = 0  # games cut at max_moves (value-adjudicated)
+
+
+class Opponent(NamedTuple):
+    """One second player in a multi-opponent rating run (reference:
+    EvaluationManager::setSecondPlayer per evaluator thread)."""
+
+    net_apply: Callable
+    variables: Any
+    raw_input: bool = True
+    mcfg: mcts.MCTSConfig | None = None
+    name: str = ""
 
 
 def random_openings(
@@ -57,6 +75,179 @@ def random_openings(
     return boards
 
 
+def _score_pairs(
+    outcomes: np.ndarray, g: int, adjudicated: np.ndarray | None = None
+) -> tuple[np.ndarray, float]:
+    """Pentanomial pair scores for A over [2G] outcomes (game i: A=cross,
+    game G+i: A=circle).  `adjudicated` [2G] optionally replaces UNKNOWN
+    outcomes (truncation adjudication)."""
+
+    def points(outcome: int, a_sign: int) -> int:
+        """A's points in one game (reference: GSPRT.cpp get_points)."""
+        if outcome in (int(GameOutcome.DRAW), int(GameOutcome.UNKNOWN)):
+            return 1
+        won_cross = outcome == int(GameOutcome.CROSS_WIN)
+        return 2 if (won_cross == (a_sign == CROSS)) else 0
+
+    eff = outcomes.copy()
+    if adjudicated is not None:
+        unk = eff == int(GameOutcome.UNKNOWN)
+        eff[unk] = adjudicated[unk]
+    penta = np.zeros(5, np.int64)
+    total = 0
+    for i in range(g):
+        p = points(int(eff[i]), CROSS) + points(int(eff[g + i]), CIRCLE)
+        penta[p] += 1
+        total += p
+    return penta, total / (4.0 * g)
+
+
+def _adjudicate(
+    net_apply: Callable,
+    variables: Any,
+    tables: V.RuleTables,
+    boards: jax.Array,
+    stm: jax.Array,
+    raw_input: bool,
+) -> np.ndarray:
+    """Value-adjudicate unfinished positions: NN expectation from the
+    side-to-move converted to a cross-perspective verdict.  Replaces the
+    old free-draw scoring of truncated games (the reference never
+    truncates — EvaluationGame plays to outcome — so adjudication only
+    triggers when a caller explicitly caps max_moves)."""
+    _, value, _, _, _, _ = jax.jit(
+        lambda v, b, s: mcts._evaluate(net_apply, v, tables, b, s, raw_input)
+    )(variables, boards, stm)
+    value = np.asarray(value, np.float32)
+    exp_stm = value[:, 0] + 0.5 * value[:, 1]
+    stm_np = np.asarray(stm)
+    exp_cross = np.where(stm_np == CROSS, exp_stm, 1.0 - exp_stm)
+    out = np.full(exp_cross.shape, int(GameOutcome.DRAW), np.int8)
+    out[exp_cross > 0.6] = int(GameOutcome.CROSS_WIN)
+    out[exp_cross < 0.4] = int(GameOutcome.CIRCLE_WIN)
+    return out
+
+
+def play_multi_match(
+    net_apply_a: Callable,
+    variables_a: Any,
+    opponents: Sequence[Opponent],
+    tables: V.RuleTables,
+    mcfg: mcts.MCTSConfig,
+    num_simulations: int,
+    openings: np.ndarray,  # [G, H, W] with an EVEN stone count (cross to move)
+    max_moves: int | None = None,
+    raw_input_a: bool = True,
+) -> list[MatchResult]:
+    """One candidate A against K opponents, same openings for every pairing
+    (reference: EvaluationManager multi-opponent rating,
+    EvaluationManager.hpp:29-52; TrainingManager::evaluate,
+    TrainingManager.cpp:277-309).
+
+    Per ply the candidate's to-move boards across ALL opponent blocks are
+    searched as ONE batch; each opponent searches its own block.  With
+    `max_moves=None` games play to their rule outcome (the reference
+    behavior); a finite cap value-adjudicates leftovers instead of
+    scoring free draws.
+    """
+    k_opp = len(opponents)
+    g, h, w = openings.shape
+    n_stones = int((openings[0] != 0).sum())
+    assert n_stones % 2 == 0, "openings must leave cross to move"
+    if max_moves is None:
+        max_moves = h * w  # play to outcome (draw_after fills the board)
+
+    # block k: games [2kG, 2kG+G) A=cross; [2kG+G, 2kG+2G) opponent k=cross
+    boards0 = np.concatenate([openings, openings] * k_opp, 0)  # [2KG, H, W]
+    env = V.EnvState(
+        board=jnp.asarray(boards0),
+        to_move=jnp.full(2 * k_opp * g, CROSS, jnp.int8),
+        outcome=jnp.full(2 * k_opp * g, int(GameOutcome.UNKNOWN), jnp.int8),
+        move_count=jnp.full(2 * k_opp * g, n_stones, jnp.int32),
+    )
+    opp_cfgs = [op.mcfg if op.mcfg is not None else mcfg for op in opponents]
+
+    def make_step(a_first: bool):
+        # all block boundaries are static Python slices (per-batch-row
+        # gathers serialize on TPU; contiguous slices don't)
+        def a_block(k: int) -> slice:
+            lo = 2 * k * g + (0 if a_first else g)
+            return slice(lo, lo + g)
+
+        def o_block(k: int) -> slice:
+            lo = 2 * k * g + (g if a_first else 0)
+            return slice(lo, lo + g)
+
+        def step(va, opp_vars, env_state):
+            board, stm = env_state.board, env_state.to_move
+            st_a = mcts.run_search(
+                net_apply_a, va, tables, mcfg,
+                jnp.concatenate([board[a_block(k)] for k in range(k_opp)], 0),
+                jnp.concatenate([stm[a_block(k)] for k in range(k_opp)], 0),
+                num_simulations, raw_input=raw_input_a,
+            )
+            mv_a = mcts.select_move(st_a)
+            per_block = [jnp.zeros((2 * g,), jnp.int32) for _ in range(k_opp)]
+            for k, op in enumerate(opponents):
+                st_o = mcts.run_search(
+                    op.net_apply, opp_vars[k], tables, opp_cfgs[k],
+                    board[o_block(k)], stm[o_block(k)], num_simulations,
+                    raw_input=op.raw_input,
+                )
+                mv_o = mcts.select_move(st_o)
+                mv_ak = mv_a[k * g:(k + 1) * g]
+                first, second = (mv_ak, mv_o) if a_first else (mv_o, mv_ak)
+                per_block[k] = jnp.concatenate([first, second], 0)
+            moves = jnp.concatenate(per_block, 0)
+            return V.env_step(tables, env_state, moves // w, moves % w)
+
+        return jax.jit(step)
+
+    step_even = make_step(a_first=True)
+    step_odd = make_step(a_first=False)
+    opp_vars = [op.variables for op in opponents]
+
+    for ply in range(max_moves - n_stones):
+        env = (step_even if ply % 2 == 0 else step_odd)(
+            variables_a, opp_vars, env
+        )
+        if ply % 8 == 7 and bool(
+            jnp.all(env.outcome != jnp.int8(int(GameOutcome.UNKNOWN)))
+        ):
+            break
+
+    outcomes = np.asarray(env.outcome)
+    lengths = np.asarray(env.move_count)
+    unfinished = outcomes == int(GameOutcome.UNKNOWN)
+    adjudicated = None
+    if unfinished.any():
+        import logging
+
+        logging.getLogger("alphagomoku_tpu.match").warning(
+            "%d/%d games truncated at max_moves=%d (value-adjudicated)",
+            int(unfinished.sum()), 2 * k_opp * g, max_moves,
+        )
+        adjudicated = _adjudicate(
+            net_apply_a, variables_a, tables, env.board, env.to_move,
+            raw_input_a,
+        )
+
+    results = []
+    for k in range(k_opp):
+        blk = slice(2 * k * g, 2 * (k + 1) * g)
+        penta, score = _score_pairs(
+            outcomes[blk], g,
+            None if adjudicated is None else adjudicated[blk],
+        )
+        results.append(
+            MatchResult(
+                outcomes[blk], penta, score, elo_from_winrate(score),
+                lengths[blk], int(unfinished[blk].sum()),
+            )
+        )
+    return results
+
+
 def play_match(
     net_apply_a: Callable,
     variables_a: Any,
@@ -66,97 +257,26 @@ def play_match(
     mcfg: mcts.MCTSConfig,
     num_simulations: int,
     openings: np.ndarray,  # [G, H, W] with an EVEN stone count (cross to move)
-    max_moves: int = 160,
+    max_moves: int | None = None,
     raw_input_a: bool = True,
     raw_input_b: bool = True,
     mcfg_b: mcts.MCTSConfig | None = None,
 ) -> MatchResult:
-    """Run the paired match; returns pentanomial scores and Elo for A.
+    """Run one paired match A vs B; returns pentanomial scores and Elo for A.
 
     `mcfg_b` lets the two engines differ by search configuration alone
     (parameter tuning matches, reference: tuning_launcher)."""
-    if mcfg_b is None:
-        mcfg_b = mcfg
-    g, h, w = openings.shape
-    n_stones = int((openings[0] != 0).sum())
-    assert n_stones % 2 == 0, "openings must leave cross to move"
-
-    boards0 = np.concatenate([openings, openings], 0)  # [2G, H, W]
-    env = V.EnvState(
-        board=jnp.asarray(boards0),
-        to_move=jnp.full(2 * g, CROSS, jnp.int8),
-        outcome=jnp.full(2 * g, int(GameOutcome.UNKNOWN), jnp.int8),
-        move_count=jnp.full(2 * g, n_stones, jnp.int32),
-    )
-
-    def make_step(a_first: bool):
-        """One ply: A searches one half, B the other, env steps all."""
-
-        def step(va, vb, env_state):
-            board, stm = env_state.board, env_state.to_move
-            ba, bb_ = (board[:g], board[g:]) if a_first else (board[g:], board[:g])
-            sa, sb = (stm[:g], stm[g:]) if a_first else (stm[g:], stm[:g])
-            st_a = mcts.run_search(
-                net_apply_a, va, tables, mcfg, ba, sa, num_simulations,
-                raw_input=raw_input_a,
-            )
-            st_b = mcts.run_search(
-                net_apply_b, vb, tables, mcfg_b, bb_, sb, num_simulations,
-                raw_input=raw_input_b,
-            )
-            mv_a = mcts.select_move(st_a)
-            mv_b = mcts.select_move(st_b)
-            moves = (
-                jnp.concatenate([mv_a, mv_b])
-                if a_first
-                else jnp.concatenate([mv_b, mv_a])
-            )
-            return V.env_step(tables, env_state, moves // w, moves % w)
-
-        return jax.jit(step)
-
-    step_even = make_step(a_first=True)  # cross to move: A on first half
-    step_odd = make_step(a_first=False)
-
-    for ply in range(max_moves - n_stones):
-        env = step_even(variables_a, variables_b, env) if ply % 2 == 0 else step_odd(
-            variables_a, variables_b, env
-        )
-        if ply % 8 == 7 and bool(
-            jnp.all(env.outcome != jnp.int8(int(GameOutcome.UNKNOWN)))
-        ):
-            break
-
-    outcomes = np.asarray(env.outcome)
-    lengths = np.asarray(env.move_count)
-
-    def points(outcome: int, a_sign: int) -> int:
-        """A's points in one game (reference: GSPRT.cpp get_points)."""
-        if outcome == int(GameOutcome.DRAW) or outcome == int(GameOutcome.UNKNOWN):
-            return 1  # unfinished counts as draw (truncated games)
-        won_cross = outcome == int(GameOutcome.CROSS_WIN)
-        return 2 if (won_cross == (a_sign == CROSS)) else 0
-
-    penta = np.zeros(5, np.int64)
-    total = 0
-    for i in range(g):
-        p = points(int(outcomes[i]), CROSS) + points(int(outcomes[g + i]), CIRCLE)
-        penta[p] += 1
-        total += p
-    score = total / (4.0 * g)
-    truncated = int((outcomes == int(GameOutcome.UNKNOWN)).sum())
-    if truncated:
-        # systematic non-termination must be visible, not silently scored
-        # as draws (the reference adjudicates by outcome only)
-        import logging
-
-        logging.getLogger("alphagomoku_tpu.match").warning(
-            "%d/%d games truncated at max_moves=%d (scored as draws)",
-            truncated, 2 * g, max_moves,
-        )
-    return MatchResult(
-        outcomes, penta, score, elo_from_winrate(score), lengths, truncated
-    )
+    return play_multi_match(
+        net_apply_a,
+        variables_a,
+        [Opponent(net_apply_b, variables_b, raw_input_b, mcfg_b)],
+        tables,
+        mcfg,
+        num_simulations,
+        openings,
+        max_moves=max_moves,
+        raw_input_a=raw_input_a,
+    )[0]
 
 
 def elo_from_winrate(winrate: float) -> float:

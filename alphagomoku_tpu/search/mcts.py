@@ -1662,10 +1662,14 @@ def select_move(
     key: jax.Array | None = None,
     temperature: float = 0.0,
 ) -> jax.Array:
-    """Final move [B] (flat action index): argmax visits, or visit-count
-    sampling with temperature (reference: BestEdgeSelector / final selector
-    sampling in GameGenerator.cpp:145-173).  Proven WIN edges dominate,
-    proven LOSS edges are avoided (reference: BestEdgeSelector ordering)."""
+    """Final move [B] (flat action index): the reference's BestEdge ordering,
+    or visit-count sampling with temperature (reference: BestEdgeSelector /
+    final selector sampling in GameGenerator.cpp:145-173).
+
+    BestEdge op (EdgeSelector.cpp:515-536, exact):
+      WIN  -> +1e8 - distance-to-mate
+      LOSS -> -1e8 + distance-to-mate
+      else -> visits + expectation * parent_visits + 0.001 * prior"""
     tree = state.tree
     rb = jnp.arange(tree.batch)
     visits = tree.edge_visits[rb, state.root_node].astype(jnp.float32)
@@ -1683,10 +1687,12 @@ def select_move(
         n = jnp.maximum(visits, 1.0)
         ev = tree.edge_value_sum[rb, state.root_node]
         q = (ev[..., 0] + 0.5 * ev[..., 1]) / n
-        util = visits + q
+        parent_n = tree.node_visits[rb, state.root_node].astype(jnp.float32)
+        prior = tree.edge_prior[rb, state.root_node].astype(jnp.float32)
+        util = visits + q * parent_n[:, None] + 0.001 * prior
         dist = S.get_distance(escore).astype(jnp.float32)
-        util = jnp.where(S.is_win(escore), 1e9 - dist, util)
-        util = jnp.where(S.is_loss(escore), -1e9 + dist + visits * 1e-6, util)
+        util = jnp.where(S.is_win(escore), 1e8 - dist, util)
+        util = jnp.where(S.is_loss(escore), -1e8 + dist, util)
         util = jnp.where(valid, util, -jnp.inf)
         slot = jnp.argmax(util, axis=-1)
     b = jnp.arange(tree.batch)

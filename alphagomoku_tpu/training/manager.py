@@ -71,6 +71,14 @@ class ManagerConfig:
     learning_rate: float = 1e-3
     gating_games: int = 64
     use_gating: bool = False  # gating needs the eval module match runner
+    use_evaluation: bool = False  # multi-opponent rating of each checkpoint
+    # (reference: TrainingManager::evaluate vs config opponents,
+    # TrainingManager.cpp:277-309)
+    eval_opponents: tuple = (-1, -2, -4)  # relative checkpoint offsets
+    # (reference: evaluation_config.opponents)
+    eval_games: int = 32  # paired games per opponent
+    eval_in_parallel: bool = True  # overlap evaluate() with the next
+    # generation (reference: std::async future, TrainingManager.cpp:100-126)
     validation_fraction: float = 0.05  # (reference: validation_percent,
     # TrainingManager.cpp:188 + valid_buffer/ split)
     leaf_solver: str = "none"  # none | vcf | vct: per-leaf proof search in
@@ -419,6 +427,71 @@ class TrainingManager:
         self.save_checkpoint(iteration)
         return mean
 
+    def evaluate(self, iteration: int) -> list:
+        """Rate checkpoint `iteration` against K earlier checkpoints in one
+        multi-opponent lockstep run, appending per-opponent results to
+        rating.txt (reference: TrainingManager::evaluate with
+        EvaluationManager::setSecondPlayer per thread,
+        TrainingManager.cpp:277-309, EvaluationManager.hpp:29-52)."""
+        from ..eval.match import Opponent, play_multi_match, random_openings
+
+        cfg = self.cfg
+        template = {
+            "params": self.state.params,
+            "batch_stats": self.state.batch_stats,
+        }
+        opponents = []
+        seen = set()
+        for off in cfg.eval_opponents:
+            idx = max(0, iteration + int(off))
+            if idx in seen or idx == iteration:
+                continue
+            path = self.checkpoint_path(idx)
+            if not os.path.exists(path):
+                continue
+            seen.add(idx)
+            with open(path, "rb") as fh:
+                ovars = serialization.from_bytes(template, fh.read())
+            opponents.append(
+                Opponent(
+                    self._net_apply, ovars, self.net.cfg.raw_input,
+                    name=f"AG_{idx:03d}",
+                )
+            )
+        if not opponents:
+            return []
+        # the candidate loads from its checkpoint FILE, not live state — the
+        # async evaluation may overlap the next training iteration mutating
+        # self.state (reference: NetworkLoader from checkpoint/ dir)
+        with open(self.checkpoint_path(iteration), "rb") as fh:
+            last_vars = serialization.from_bytes(template, fh.read())
+        openings = random_openings(
+            self.rng, cfg.eval_games // 2, cfg.rows, cfg.cols
+        )
+        results = play_multi_match(
+            self._net_apply, last_vars, opponents, self.tables,
+            mcts.MCTSConfig(
+                max_nodes=cfg.num_simulations + 8, max_edges=32, max_depth=32
+            ),
+            cfg.num_simulations, openings,
+            raw_input_a=self.net.cfg.raw_input,
+        )
+        with open(os.path.join(cfg.working_dir, "rating.txt"), "a") as fh:
+            for op, res in zip(opponents, results):
+                fh.write(
+                    json.dumps(
+                        {
+                            "iteration": iteration,
+                            "opponent": op.name,
+                            "score": res.score_a,
+                            "elo": res.elo_a,
+                            "pentanomial": res.pentanomial.tolist(),
+                        }
+                    )
+                    + "\n"
+                )
+        return results
+
     def gating(self, iteration: int) -> dict:
         """Play last-vs-best and promote on winrate > 0.5
         (reference: TrainingManager::gating, TrainingManager.cpp:310-356)."""
@@ -491,20 +564,46 @@ class TrainingManager:
         return {"promoted": bool(promoted), "score": result.score_a, "elo": result.elo_a}
 
     def run_iteration_rl(self, iteration: int) -> dict:
-        """generateGames -> train -> optional gating
-        (reference: runIterationRL + runIterationSL,
-        TrainingManager.cpp:84-137)."""
+        """generateGames -> train -> optional async evaluation -> optional
+        gating (reference: runIterationRL + runIterationSL,
+        TrainingManager.cpp:84-137; evaluation overlaps the NEXT generation
+        via a future when eval_in_parallel, :100-126)."""
         sig = _SigintFlag()
         try:
             samples = self.generate_games(iteration)
             if sig.hit:
                 return {"stopped": True, "samples": samples}
             metrics = self.train_iteration(iteration)
+            if self.cfg.use_evaluation and not sig.hit:
+                if self.cfg.eval_in_parallel:
+                    # join the previous evaluation first (reference: "Waiting
+                    # for previous evaluation to finish...")
+                    prev = getattr(self, "_eval_future", None)
+                    if prev is not None:
+                        prev.result()
+                    import concurrent.futures
+
+                    if not hasattr(self, "_eval_pool"):
+                        self._eval_pool = (
+                            concurrent.futures.ThreadPoolExecutor(1)
+                        )
+                    self._eval_future = self._eval_pool.submit(
+                        self.evaluate, iteration
+                    )
+                else:
+                    self.evaluate(iteration)
             if self.cfg.use_gating and not sig.hit:
                 metrics.update(self.gating(iteration))
             return {"samples": samples, **metrics}
         finally:
             sig.restore()
+
+    def join_evaluation(self) -> None:
+        """Block until any in-flight async evaluation has finished."""
+        fut = getattr(self, "_eval_future", None)
+        if fut is not None:
+            fut.result()
+            self._eval_future = None
 
     def run(self, iterations: int) -> None:
         start = self.metadata["last_checkpoint"] + 1
@@ -514,3 +613,4 @@ class TrainingManager:
             if metrics.get("stopped"):
                 break
             print(f"iteration {i}: {metrics} ({time.time()-t0:.1f}s)")
+        self.join_evaluation()
