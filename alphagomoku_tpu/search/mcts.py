@@ -81,6 +81,12 @@ class MCTSConfig(NamedTuple):
     leaf_solver_steps: int = 24  # lockstep transitions per leaf batch
     leaf_solver_depth: int = 6  # attacker plies
     leaf_solver_threes: int = 2  # vct only: open-three budget per line
+    leaf_solver_cap: int = 0  # >0: solve only the top-`cap` leaves that
+    # have any attacker threat cell (compacted via one-hot einsum); quiet
+    # leaves have no forcing candidates and would fail at step 1 anyway,
+    # so skipping them preserves every proof while cutting the solver's
+    # lockstep width ~4-8x (reference analogue: TSS exits immediately on
+    # an empty threat histogram, ThreatSpaceSearch.cpp:176-190)
 
 
 class Tree(NamedTuple):
@@ -761,11 +767,39 @@ def make_simulate_fn(
         # --------------------------------------------------------------
         solver_win_f = jnp.zeros(boards_f.shape[0], bool)
         if cfg.leaf_solver != "none":
+            flat = boards_f.shape[0]
+            cap = int(cfg.leaf_solver_cap)
+            if cap and cap < flat:
+                # compact the leaves that have ANY attacker threat cell
+                # (own pattern-group bits of the already-encoded features):
+                # quiet leaves have no root candidates and fail at solver
+                # step 1, so they only waste lockstep width
+                own_bits = (packed_f >> jnp.uint32(8)) & jnp.uint32(0xFFF)
+                interest = (own_bits != 0).any((1, 2)) & need_f & ~terminal_f
+                sel_idx = jax.lax.top_k(interest.astype(jnp.int32), cap)[1]
+                onehot_sel = (
+                    sel_idx[:, None]
+                    == jnp.arange(flat, dtype=jnp.int32)[None, :]
+                )  # [cap, flat]
+                oh_bf = onehot_sel.astype(jnp.bfloat16)
+                sub_board = jnp.round(jnp.einsum(
+                    "kf,fx->kx", oh_bf,
+                    boards_f.reshape(flat, -1).astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )).astype(jnp.int8).reshape((cap,) + boards_f.shape[1:])
+                sub_stm = jnp.round(jnp.einsum(
+                    "kf,f->k", oh_bf, stm_f.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )).astype(jnp.int8)
+                solve_board, solve_stm = sub_board, sub_stm
+            else:
+                cap = 0
+                solve_board, solve_stm = boards_f, stm_f
             if cfg.leaf_solver == "vcf":
                 from . import vcf as _vcf
 
                 sres = _vcf.solve(
-                    tables, boards_f, stm_f,
+                    tables, solve_board, solve_stm,
                     max_depth=cfg.leaf_solver_depth,
                     max_steps=cfg.leaf_solver_steps,
                 )
@@ -773,10 +807,25 @@ def make_simulate_fn(
                 from . import vct_batched as _vctb
 
                 sres = _vctb.solve(
-                    tables, boards_f, stm_f,
+                    tables, solve_board, solve_stm,
                     max_depth=cfg.leaf_solver_depth,
                     max_steps=cfg.leaf_solver_steps,
                     max_threes=cfg.leaf_solver_threes,
+                )
+            if cap:
+                # scatter the compacted proofs back to the flat leaf batch
+                eq = onehot_sel  # [cap, flat]
+                win_full = (eq & sres.win[:, None]).any(0)
+                best_full = jnp.where(
+                    win_full,
+                    (eq * sres.best_move[:, None]).sum(0).astype(jnp.int32),
+                    -1,
+                )
+                dist_full = (eq * sres.distance[:, None]).sum(0).astype(
+                    jnp.int32
+                )
+                sres = sres._replace(
+                    win=win_full, best_move=best_full, distance=dist_full
                 )
             swin = sres.win & need_f & ~terminal_f
             solver_win_f = swin

@@ -6,7 +6,9 @@ alpha-beta solver (reference: src/search/alpha_beta/{AlphaBetaSearch,
 VCFSolver,MoveGenerator}.cpp): the recursive DFS over four-making moves
 becomes an iterative fixed-stack state machine advanced by one (attacker
 move, forced defender reply) pair per `lax.while_loop` step, all boards in
-lockstep.
+lockstep.  Every per-step read/write is a one-hot masked select (gathers /
+scatters serialize on TPU), and threat detection is one full-plane compiled
+classification per board state (search/lockstep.py).
 
 Soundness model (every claimed WIN is a true forced win):
 - attacker candidates are four-making moves (they threaten a five next
@@ -16,8 +18,10 @@ Soundness model (every claimed WIN is a true forced win):
 - the defender's reply is forced: the unique five-completion cell of the
   attacker's four (an immediate defender five ends the line; two or more
   attacker completion cells = double four = win),
-- renju: forbidden cells are excluded from black's candidates; a defender
-  block that is forbidden for black counts as a win.
+- renju: every possibly-forbidden cell (overline / double-four / 4x4 fork /
+  naive 3x3 fork — a superset of the truly forbidden set, so sound) is
+  excluded from black's candidates; a defender block that is forbidden for
+  black counts as a win; a black five trumps a forbidden cell.
 
 The search never claims LOSS/DRAW — failures just mean "no VCF within the
 depth/step budget" (reference semantics: solver returns UNKNOWN).
@@ -33,8 +37,8 @@ import numpy as np
 
 from ..game.types import CROSS, CIRCLE, GameRules
 from ..game import vectorized as V
-from ..patterns import features as F
-from . import score as S
+from ..patterns import bitwise
+from . import lockstep as L
 
 U = np.uint32
 
@@ -59,31 +63,6 @@ class _State(NamedTuple):
 _SEARCHING, _WIN, _FAIL = 0, 1, 2
 
 
-def _five_completions(tables, board, rows, cols, sign):
-    """Cells completing a five for `sign` near (rows, cols): bool [B, HW]
-    restricted to the 4 lines through the move (all new five threats created
-    by a stone lie on its lines)."""
-    bsz, h, w = board.shape
-    offs = [o for o in range(-4, 5) if o != 0]
-    cand_r, cand_c = [], []
-    for dr, dc in V.DIRECTION_STEPS:
-        for o in offs:
-            cand_r.append(rows + o * dr)
-            cand_c.append(cols + o * dc)
-    rr = jnp.stack(cand_r, -1)  # [B, 32]
-    cc = jnp.stack(cand_c, -1)
-    inb = (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
-    rr = jnp.clip(rr, 0, h - 1)
-    cc = jnp.clip(cc, 0, w - 1)
-    empty = board[jnp.arange(bsz)[:, None], rr, cc] == V.NONE
-    wins = V.windows_at_many(board, rr, cc)  # [B, 32, 4]
-    pts = V.pattern_types(tables, wins, (sign == CIRCLE)[:, None])
-    five = jnp.any(pts == V.T.PT_FIVE, -1) & inb & empty  # [B, 32]
-    flat = jnp.zeros((bsz, h * w), bool)
-    flat = flat.at[jnp.arange(bsz)[:, None], rr * w + cc].max(five)
-    return flat
-
-
 def solve(
     tables: V.RuleTables,
     board: jax.Array,
@@ -100,7 +79,11 @@ def solve(
     bsz, h, w = board.shape
     hw = h * w
     D = max_depth
-    b = jnp.arange(bsz)
+    rules = GameRules(tables.rules)
+    renju = rules == GameRules.RENJU
+    stm_is_circle = stm == CIRCLE
+    own_cross = (~stm_is_circle)[:, None, None]
+    def_sign = jnp.where(stm == CROSS, CIRCLE, CROSS).astype(jnp.int8)
 
     state = _State(
         board=board,
@@ -113,23 +96,25 @@ def solve(
         steps=jnp.zeros((), jnp.int32),
     )
 
+    def own_theirs(board_, kinds=None):
+        pt_cross, pt_circle = L.classify(board_, rules, kinds)
+        own_pts = jnp.where(stm_is_circle[:, None, None, None], pt_circle, pt_cross)
+        opp_pts = jnp.where(stm_is_circle[:, None, None, None], pt_cross, pt_circle)
+        return own_pts, opp_pts
+
     def cond(st: _State):
         return (st.steps < max_steps) & jnp.any(st.status == _SEARCHING)
 
     def body(st: _State) -> _State:
         searching = st.status == _SEARCHING
+        empty = st.board == V.NONE
 
-        packed = F.encode(tables, st.board, stm)
-        legal = ((packed & 1) == 1) & ~(((packed >> U(6)) & 1) == 1)
-        own = (packed >> U(8)) & U(0xFFF)
-        opp = (packed >> U(20)) & U(0xFFF)
-        own5 = legal & (((own >> U(10)) & 1) == 1)
-        opp5 = legal & (((opp >> U(10)) & 1) == 1)
-        makes_four = legal & (
-            (((own >> U(4)) & U(0xF)) != 0)  # half-open four in any direction
-            | (((own >> U(8)) & 1) == 1)  # open four
-            | (((own >> U(9)) & 1) == 1)  # double four
-        )
+        own_pts, opp_pts = own_theirs(st.board, bitwise.THREAT_KINDS)
+        mine = L.actor_planes(own_pts, empty, own_cross, renju)
+        theirs = L.actor_planes(opp_pts, empty, ~own_cross, renju)
+        own5 = mine["five"]
+        opp5 = theirs["five"]
+        makes_four = mine["four"] & ~mine["maybe_forb"]
 
         # immediate win: a five-completing move exists right now
         win_now = jnp.any(own5, (1, 2)) & searching
@@ -139,66 +124,55 @@ def solve(
             (n_opp5 > 0)[:, None, None], opp5, jnp.ones_like(opp5)
         )
         cand = cand & (n_opp5 < 2)[:, None, None]
-        cand_flat = cand.reshape(bsz, hw) & ~st.tried[b, jnp.clip(st.ply, 0, D - 1)]
+        ply_idx = jnp.clip(st.ply, 0, D - 1)
+        cand_flat = cand.reshape(bsz, hw) & ~L.plane_at(st.tried, ply_idx)
         cand_flat = cand_flat & searching[:, None] & ~win_now[:, None]
         has_cand = jnp.any(cand_flat, -1) & (st.ply < D)
 
         # ---- descend: try the first untried candidate -------------------
         move = jnp.argmax(cand_flat, -1).astype(jnp.int32)  # [B]
         do_desc = has_cand & searching & ~win_now
-        mr, mc = move // w, move % w
-        board2 = jnp.where(
-            do_desc[:, None, None],
-            st.board.at[b, mr, mc].set(stm),
-            st.board,
-        )
-        # attacker's five threats after the move
-        threats = _five_completions(tables, board2, mr, mc, stm)  # [B, HW]
+        board2 = L.place(st.board, do_desc, move, stm)
+
+        # attacker's five threats after the move (all new fives go through
+        # the new stone; pre-existing fives would have fired win_now)
+        threats = L.five_plane_of(board2, rules, stm_is_circle).reshape(bsz, hw)
         threats = threats & do_desc[:, None]
         n_thr = threats.sum(-1)
         double_four_win = do_desc & (n_thr >= 2)
 
         block = jnp.argmax(threats, -1).astype(jnp.int32)
-        br, bc = block // w, block % w
-        def_sign = jnp.where(stm == CROSS, CIRCLE, CROSS).astype(jnp.int8)
         # renju: a black defender cannot take a forbidden block
-        if tables.rules == GameRules.RENJU:
-            forb = V.is_forbidden(tables, board2, br, bc)
+        if renju:
+            forb = V.is_forbidden(tables, board2, block // w, block % w)
             forbidden_block = forb & (def_sign == CROSS)
         else:
             forbidden_block = jnp.zeros(bsz, bool)
         block_wins = do_desc & (n_thr == 1) & forbidden_block
 
         do_block = do_desc & (n_thr == 1) & ~forbidden_block
-        board3 = jnp.where(
-            do_block[:, None, None], board2.at[b, br, bc].set(def_sign), board2
-        )
+        board3 = L.place(board2, do_block, block, def_sign)
         # defender's own five after blocking ends the line (their four was
         # completed by the block)
-        def_five = _five_completions(tables, board3, br, bc, def_sign)
+        def_five = L.five_plane_of(board3, rules, ~stm_is_circle).reshape(bsz, hw)
         line_fails = do_block & jnp.any(def_five, -1)
 
         # ---- state updates ----------------------------------------------
-        ply_idx = jnp.clip(st.ply, 0, D - 1)
-        tried = st.tried.at[b, ply_idx, move].max(do_desc)
+        tried = st.tried | (
+            (jnp.arange(D)[None, :, None] == ply_idx[:, None, None])
+            & do_desc[:, None, None]
+            & (move[:, None] == jnp.arange(hw, dtype=jnp.int32)[None, :])[:, None, :]
+        )
 
         advanced = do_block & ~line_fails
         won = win_now | double_four_win | block_wins
 
-        att_moves = st.att_moves.at[b, ply_idx].set(
-            jnp.where(advanced | won & do_desc, move, st.att_moves[b, ply_idx])
-        )
-        def_moves = st.def_moves.at[b, ply_idx].set(
-            jnp.where(advanced, block, st.def_moves[b, ply_idx])
-        )
+        att_moves = L.set_col(st.att_moves, ply_idx, advanced | (won & do_desc), move)
+        def_moves = L.set_col(st.def_moves, ply_idx, advanced, block)
 
         # failed lines: undo the attacker (and defender) stones
-        undo_line = line_fails
-        board4 = jnp.where(
-            undo_line[:, None, None],
-            board3.at[b, mr, mc].set(V.NONE).at[b, br, bc].set(V.NONE),
-            board3,
-        )
+        board4 = L.unplace(board3, line_fails, move)
+        board4 = L.unplace(board4, line_fails, block)
 
         # ---- backtrack: no candidates at this ply -----------------------
         do_back = searching & ~win_now & ~do_desc
@@ -206,18 +180,14 @@ def solve(
         fail_now = do_back & at_root
         pop = do_back & ~at_root
         prev_idx = jnp.clip(st.ply - 1, 0, D - 1)
-        pa = st.att_moves[b, prev_idx]
-        pd = st.def_moves[b, prev_idx]
-        par, pac = jnp.clip(pa, 0, hw - 1) // w, jnp.clip(pa, 0, hw - 1) % w
-        pdr, pdc = jnp.clip(pd, 0, hw - 1) // w, jnp.clip(pd, 0, hw - 1) % w
-        board5 = jnp.where(
-            pop[:, None, None],
-            board4.at[b, par, pac].set(V.NONE).at[b, pdr, pdc].set(V.NONE),
-            board4,
-        )
+        pa = L.col_at(st.att_moves, prev_idx)
+        pd = L.col_at(st.def_moves, prev_idx)
+        board5 = L.unplace(board4, pop & (pa >= 0), jnp.clip(pa, 0, hw - 1))
+        board5 = L.unplace(board5, pop & (pd >= 0), jnp.clip(pd, 0, hw - 1))
         # clear the tried set of the ply being abandoned
         tried = jnp.where(
-            pop[:, None, None] & (jnp.arange(D)[None, :, None] == ply_idx[:, None, None]),
+            pop[:, None, None]
+            & (jnp.arange(D)[None, :, None] == ply_idx[:, None, None]),
             False,
             tried,
         )
@@ -250,9 +220,7 @@ def solve(
     win = final.status == _WIN
     # first attacker move of the winning line; if the win was found at ply 0
     # before any line move (immediate five), recompute the five cell
-    packed0 = F.encode(tables, board, stm)
-    legal0 = ((packed0 & 1) == 1) & ~(((packed0 >> U(6)) & 1) == 1)
-    own5_0 = (legal0 & ((((packed0 >> U(8)) >> U(10)) & 1) == 1)).reshape(bsz, hw)
+    own5_0 = L.five_plane_of(board, rules, stm_is_circle).reshape(bsz, hw)
     imm = jnp.argmax(own5_0, -1).astype(jnp.int32)
     has_imm = jnp.any(own5_0, -1)
     first = jnp.where(

@@ -40,7 +40,6 @@ budgets" (reference semantics: the solver returns UNKNOWN).
 
 from __future__ import annotations
 
-from functools import lru_cache
 from typing import NamedTuple
 
 import jax
@@ -52,7 +51,7 @@ from ..game import vectorized as V
 from ..patterns import bitwise
 from ..patterns import defensive as DEF
 from ..patterns import tables as T
-from .vcf import _five_completions
+from . import lockstep as L
 
 U = np.uint32
 
@@ -68,31 +67,7 @@ _ADV, _RETW, _RETF = 0, 1, 2
 _TT_BIG_DEPTH = 127  # depth-independent fail entries (static refutations)
 
 
-@lru_cache(maxsize=None)
-def _zobrist_keys(hw: int) -> tuple[np.ndarray, np.ndarray]:
-    """Two independent uint32 key tables [HW, 3] (NONE/CROSS/CIRCLE);
-    cached as NUMPY (jnp in lru_cache leaks tracers; see NEXT.md lore)."""
-    rng = np.random.RandomState(0xC0FFEE)
-    k1 = rng.randint(0, 1 << 32, size=(hw, 3), dtype=np.uint64).astype(np.uint32)
-    k2 = rng.randint(0, 1 << 32, size=(hw, 3), dtype=np.uint64).astype(np.uint32)
-    k1[:, 0] = 0
-    k2[:, 0] = 0
-    return k1, k2
-
-
-def _hash_boards(board: jax.Array) -> tuple[jax.Array, jax.Array]:
-    """Position hashes [B] (uint32 x2) via XOR-reduce of per-cell keys."""
-    bsz, h, w = board.shape
-    k1, k2 = _zobrist_keys(h * w)
-    flat = board.reshape(bsz, h * w).astype(jnp.int32)
-    cell = jnp.arange(h * w)
-    h1 = jax.lax.reduce(
-        jnp.take(jnp.asarray(k1), cell * 3 + flat),
-        U(0), jax.lax.bitwise_xor, dimensions=(1,))
-    h2 = jax.lax.reduce(
-        jnp.take(jnp.asarray(k2), cell * 3 + flat),
-        U(0), jax.lax.bitwise_xor, dimensions=(1,))
-    return h1, h2
+_hash_boards = L.hash_boards
 
 
 def _ext_windows_at_one(board: jax.Array, rows: jax.Array, cols: jax.Array) -> jax.Array:
@@ -191,35 +166,9 @@ def solve(
         steps=jnp.zeros((), jnp.int32),
     )
 
-    def plane_at(arr_bdx: jax.Array, ply: jax.Array) -> jax.Array:
-        """Read the [B, HW] row of a [B, D, HW] array at per-board ply."""
-        sel = (jnp.arange(D)[None, :] == ply[:, None])[:, :, None]
-        return jnp.where(sel, arr_bdx, False).sum(1, dtype=bool)
-
-    def set_plane(arr_bdx, ply, mask_b, new_bx):
-        sel = (jnp.arange(D)[None, :] == ply[:, None])[:, :, None] & mask_b[:, None, None]
-        return jnp.where(sel, new_bx[:, None, :], arr_bdx)
-
-    def col_at(arr_bd: jax.Array, ply: jax.Array) -> jax.Array:
-        sel = jnp.arange(arr_bd.shape[1])[None, :] == ply[:, None]
-        return jnp.where(sel, arr_bd, 0).sum(1).astype(arr_bd.dtype)
-
-    def set_col(arr_bd, ply, mask_b, val_b):
-        sel = (jnp.arange(arr_bd.shape[1])[None, :] == ply[:, None]) & mask_b[:, None]
-        return jnp.where(sel, val_b[:, None], arr_bd)
-
-    def place(board_, mask_b, move_b, sign_b):
-        """Place sign at flat move for masked boards (one-hot update)."""
-        onehot = (
-            move_b[:, None] == jnp.arange(hw, dtype=jnp.int32)[None, :]
-        ).reshape(bsz, h, w) & mask_b[:, None, None]
-        return jnp.where(onehot, jnp.broadcast_to(sign_b[:, None, None], board_.shape), board_)
-
-    def unplace(board_, mask_b, move_b):
-        onehot = (
-            move_b[:, None] == jnp.arange(hw, dtype=jnp.int32)[None, :]
-        ).reshape(bsz, h, w) & mask_b[:, None, None]
-        return jnp.where(onehot, jnp.int8(V.NONE), board_)
+    plane_at, set_plane = L.plane_at, L.set_plane
+    col_at, set_col = L.col_at, L.set_col
+    place, unplace = L.place, L.unplace
 
     def cond(st: _State):
         return (st.steps < max_steps) & jnp.any(st.status == _SEARCHING)
@@ -232,46 +181,14 @@ def solve(
         ply_idx = jnp.clip(st.ply, 0, D - 1)
 
         # ================= ADVANCE =================
-        wins4 = jnp.moveaxis(V.windows_all(st.board), 1, -1)  # [B,H,W,4]
-        pt_cross, pt_circle = bitwise.classify(wins4, rules)
+        pt_cross, pt_circle = L.classify(st.board, rules, bitwise.THREAT_KINDS)
         own_pts = jnp.where(stm_is_circle[:, None, None, None], pt_circle, pt_cross)
         opp_pts = jnp.where(stm_is_circle[:, None, None, None], pt_cross, pt_circle)
         empty = st.board == V.NONE
 
-        def planes_of(pts, is_cross_actor):
-            """Threat planes for one actor; renju restricts black."""
-            five = jnp.any(pts == T.PT_FIVE, -1) & empty
-            n4 = (
-                (pts == T.PT_HALF_OPEN_4)
-                | (pts == T.PT_OPEN_4)
-                | (pts == T.PT_DOUBLE_4)
-            ).sum(-1)
-            any_d4 = jnp.any(pts == T.PT_DOUBLE_4, -1)
-            any_o4 = jnp.any(pts == T.PT_OPEN_4, -1)
-            n3 = (pts == T.PT_OPEN_3).sum(-1)
-            overline = jnp.any(pts == T.PT_OVERLINE, -1)
-            # certain forbidden needs no 3x3 recursion: overline, a
-            # double-four line, or fours in two directions
-            certain_forb = (overline | any_d4 | (n4 >= 2)) & is_cross_actor
-            maybe_forb = (certain_forb | ((n3 >= 2) & is_cross_actor))
-            if not renju:
-                certain_forb = jnp.zeros_like(five)
-                maybe_forb = jnp.zeros_like(five)
-            four = (n4 >= 1) & empty & ~certain_forb
-            win3 = (any_o4 | any_d4 | (n4 + any_o4.astype(n4.dtype) >= 2)) & empty
-            if renju:
-                # black's double-4 / 4x4 forks are forbidden, not wins
-                win3 = jnp.where(
-                    jnp.broadcast_to(is_cross_actor, win3.shape),
-                    any_o4 & empty, win3)
-            three = (n3 >= 1) & empty & ~maybe_forb
-            return dict(five=five, four=four, win3=win3, three=three,
-                        n3=n3, certain_forb=certain_forb,
-                        maybe_forb=maybe_forb)
-
         own_cross = (~stm_is_circle)[:, None, None]
-        mine = planes_of(own_pts, own_cross)
-        theirs = planes_of(opp_pts, ~own_cross)
+        mine = L.actor_planes(own_pts, empty, own_cross, renju)
+        theirs = L.actor_planes(opp_pts, empty, ~own_cross, renju)
 
         own5 = mine["five"]
         opp5 = theirs["five"]
@@ -321,10 +238,11 @@ def solve(
         mr, mc = move // w, move % w
         board2 = place(st.board, do_try, move, stm)
 
-        # attacker five threats flow through the new stone's lines (a five
-        # wins in renju even on an otherwise-forbidden cell: five trumps
-        # forbidden, and PT_FIVE is already renju-exact for black)
-        threats = _five_completions(tables, board2, mr, mc, stm)  # [B, HW]
+        # attacker five threats (a five wins in renju even on an
+        # otherwise-forbidden cell: five trumps forbidden, and PT_FIVE is
+        # already renju-exact for black).  All new fives flow through the
+        # new stone; pre-existing ones would have fired win_now.
+        threats = L.five_plane_of(board2, rules, stm_is_circle).reshape(bsz, hw)
         threats = threats & do_try[:, None]
         n_thr = threats.sum(-1)
         win_dd = do_try & (n_thr >= 2)  # double four: unstoppable
@@ -364,18 +282,25 @@ def solve(
             own_pts.reshape(bsz, hw, 4), 0,
         ).sum(1)  # [B, 4]
         dir_is3 = pts_at_m == T.PT_OPEN_3
-        opts = jnp.zeros((bsz, hw), bool)
-        for d, (dr, dc) in enumerate(V.DIRECTION_STEPS):
-            for i in range(DEF.EXT_LENGTH):
-                bit = ((dmask[:, d] >> U(i)) & 1) == 1
-                rr = mr + (i - DEF.CENTER) * dr
-                cc = mc + (i - DEF.CENTER) * dc
-                ok = bit & dir_is3[:, d] & (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
-                cell = jnp.clip(rr, 0, h - 1) * w + jnp.clip(cc, 0, w - 1)
-                opts = opts | (
-                    (cell[:, None] == jnp.arange(hw, dtype=jnp.int32)[None, :])
-                    & ok[:, None]
-                )
+        # vectorized over all (direction, ext-offset) pairs in ONE fused
+        # [B, 4, 13, HW] expression (the scalar double loop emitted ~100
+        # tiny kernels per lockstep step)
+        steps_np = np.asarray(V.DIRECTION_STEPS, np.int32)  # [4, 2]
+        offs = np.arange(DEF.EXT_LENGTH, dtype=np.int32) - DEF.CENTER  # [13]
+        bit = ((dmask[:, :, None] >> jnp.asarray(
+            np.arange(DEF.EXT_LENGTH, dtype=np.uint32))[None, None, :]) & 1) == 1
+        rr = mr[:, None, None] + offs[None, None, :] * steps_np[None, :, 0:1]
+        cc = mc[:, None, None] + offs[None, None, :] * steps_np[None, :, 1:2]
+        ok = (
+            bit & dir_is3[:, :, None]
+            & (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
+        )  # [B, 4, 13]
+        cell = jnp.clip(rr, 0, h - 1) * w + jnp.clip(cc, 0, w - 1)
+        opts = jnp.any(
+            (cell[..., None] == jnp.arange(hw, dtype=jnp.int32))
+            & ok[..., None],
+            axis=(1, 2),
+        )  # [B, HW]
         # counter-fours: pre-move defender four/five makers (superset of
         # the post-move set — an attacker stone only removes defender fours)
         opts = opts | (theirs["four"] | opp5).reshape(bsz, hw)
@@ -510,10 +435,7 @@ def solve(
 
     win = final.status == _WIN
     # immediate-five wins report the five cell; otherwise the root candidate
-    wins4 = jnp.moveaxis(V.windows_all(board), 1, -1)
-    pt_cross, pt_circle = bitwise.classify(wins4, rules)
-    own_pts0 = jnp.where(stm_is_circle[:, None, None, None], pt_circle, pt_cross)
-    own5_0 = (jnp.any(own_pts0 == T.PT_FIVE, -1) & (board == V.NONE)).reshape(bsz, hw)
+    own5_0 = L.five_plane_of(board, rules, stm_is_circle).reshape(bsz, hw)
     imm = jnp.argmax(own5_0, -1).astype(jnp.int32)
     has_imm = jnp.any(own5_0, -1)
     first = jnp.where(has_imm, imm, final.att_move[:, 0])

@@ -84,6 +84,8 @@ class ManagerConfig:
     leaf_solver: str = "none"  # none | vcf | vct: per-leaf proof search in
     # selfplay searches (reference: Search::solve, Search.cpp:159-183)
     leaf_solver_steps: int = 16
+    leaf_solver_cap: int = 0  # >0: per-step solve width cap (compact to
+    # the threat-bearing leaves; 0 = solve every leaf)
     balanced_openings: bool = True  # start selfplay/gating games from
     # NN-balanced openings (reference: OpeningGenerator +
     # GameGenerator PREPARE_OPENING, GameGenerator.cpp:60-75)
@@ -243,6 +245,7 @@ class TrainingManager:
             max_depth=32,
             leaf_solver=cfg.leaf_solver,
             leaf_solver_steps=cfg.leaf_solver_steps,
+            leaf_solver_cap=cfg.leaf_solver_cap,
         )
         scfg = SelfplayConfig(
             num_simulations=sims,

@@ -3,12 +3,20 @@
 Headline metric per BASELINE.md: >100K MCTS sims/s per chip at a TRUE
 800-sims/move search (one full 800-simulation search per move, tree capacity
 sized to hold it), with the flagship network evaluated inside the search
-loop.  Reports achieved TFLOP/s and MFU next to sims/s for both the 6x64
-flagship and the 8x128 SURVEY build-plan network.
+loop.  Two configurations are published:
+
+- headline: the solver-less search (pure MCTS+NN), and
+- strength: the engine-default configuration — the budgeted VCT proof
+  search fused into every leaf batch (leaf_solver="vct", the setting that
+  earned +172 Elo at equal sims in the paired solver gate), with the solve
+  compacted to the threat-bearing leaves (leaf_solver_cap).
+
+Reports achieved TFLOP/s and MFU next to sims/s for both the 6x64 flagship
+and the 8x128 SURVEY build-plan network.
 
 Prints ONE JSON line:
   {"metric", "value", "unit", "vs_baseline", "tflops", "mfu", "config",
-   "net_8x128": {...}}
+   "strength": {...}, "net_8x128": {...}}
 
 Each configuration runs in its own subprocess (sequential large recompiles
 in one process can fault the device — see NEXT.md perf lore).
@@ -50,7 +58,9 @@ def apply(v, planes):
 # exceeds it -- the whole search was verified BIT-IDENTICAL (node_visits
 # array equality) against max_depth=32 on this config; the smaller cap
 # shrinks the backup path machinery (P = leaf_batch * max_depth).
-cfg = mcts.MCTSConfig(max_nodes=SIMS + 8, max_edges=32, max_depth=16)
+cfg = mcts.MCTSConfig(max_nodes=SIMS + 8, max_edges=32, max_depth=16,
+                      leaf_solver={solver!r}, leaf_solver_steps=16,
+                      leaf_solver_cap={cap})
 
 rng = np.random.default_rng(0)
 boards = np.zeros((BATCH, H, W), np.int8)
@@ -107,8 +117,14 @@ print("RESULT " + json.dumps({{
 """
 
 
-def run_config(blocks: int, filters: int, batch: int) -> dict:
-    code = _BODY.format(cwd=os.getcwd(), blocks=blocks, filters=filters, batch=batch)
+def run_config(
+    blocks: int, filters: int, batch: int,
+    solver: str = "none", cap: int = 0,
+) -> dict:
+    code = _BODY.format(
+        cwd=os.getcwd(), blocks=blocks, filters=filters, batch=batch,
+        solver=solver, cap=cap,
+    )
     env = dict(os.environ)
     env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
     out = subprocess.run(
@@ -125,10 +141,20 @@ def run_config(blocks: int, filters: int, batch: int) -> dict:
 
 def main() -> None:
     flagship = run_config(blocks=6, filters=64, batch=1280)
+    extras: dict = {}
+    # the strength configuration: the engine-default vct leaf solver on
+    # every simulation batch, compacted to the threat-bearing leaves
     try:
-        big = run_config(blocks=8, filters=128, batch=1280)
+        extras["strength"] = run_config(
+            blocks=6, filters=64, batch=1280, solver="vct", cap=256
+        )
+        extras["strength"]["config"] = "leaf_solver=vct steps=16 cap=256"
     except Exception as exc:  # the headline must survive a secondary failure
-        big = {"error": str(exc)[:200]}
+        extras["strength"] = {"error": str(exc)[:200]}
+    try:
+        extras["net_8x128"] = run_config(blocks=8, filters=128, batch=1280)
+    except Exception as exc:
+        extras["net_8x128"] = {"error": str(exc)[:200]}
     print(
         json.dumps(
             {
@@ -139,7 +165,7 @@ def main() -> None:
                 "tflops": flagship.get("tflops"),
                 "mfu": flagship.get("mfu"),
                 "config": "ConvNextPVQMraw 6x64, batch 1280, true 800 sims/move",
-                "net_8x128": big,
+                **extras,
             }
         )
     )

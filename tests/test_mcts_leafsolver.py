@@ -104,3 +104,30 @@ def test_vcf_leaf_solver_smoke(net_and_vars, tables):
                 sims=4, cfg=cfg)
     root_score = np.asarray(state.tree.node_score[:, 0])
     assert bool(S.is_win(root_score[0]))
+
+
+def test_solver_cap_preserves_proofs(net_and_vars, tables):
+    """leaf_solver_cap compacts the solve to the threat-bearing leaves; a
+    batch mixing tactical and quiet boards must prove exactly what the
+    uncapped solve proves (quiet leaves have no root candidates, so the
+    compaction can only skip no-ops)."""
+    boards = np.zeros((6, H, W), np.int8)
+    boards[0] = fork_board()
+    boards[1, 4, 2] = boards[1, 4, 3] = boards[1, 4, 4] = boards[1, 4, 5] = CROSS
+    boards[1, 5, 2] = boards[1, 5, 3] = boards[1, 5, 4] = CIRCLE
+    boards[2, 0, 0] = CROSS  # quiet
+    boards[3, 8, 8] = CIRCLE  # quiet
+    # boards 4-5 stay empty (quiet)
+    stm = np.full(6, CROSS, np.int8)
+    kw = dict(max_nodes=64, max_edges=H * W, max_depth=16, leaf_solver="vct")
+    full = run(net_and_vars, tables, boards, stm, sims=8,
+               cfg=mcts.MCTSConfig(**kw))
+    capped = run(net_and_vars, tables, boards, stm, sims=8,
+                 cfg=mcts.MCTSConfig(**kw, leaf_solver_cap=2))
+    sf = np.asarray(full.tree.node_score[:, 0])
+    sc = np.asarray(capped.tree.node_score[:, 0])
+    assert S.is_win(sf[0]) and S.is_win(sf[1])
+    np.testing.assert_array_equal(S.is_win(sf), S.is_win(sc))
+    mf = np.asarray(mcts.select_move(full))
+    mc = np.asarray(mcts.select_move(capped))
+    np.testing.assert_array_equal(mf[:2], mc[:2])
