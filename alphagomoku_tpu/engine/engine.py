@@ -275,10 +275,17 @@ class Engine:
         # SearchEngine::logSearchInfo, SearchEngine.cpp:149-241)
         tree = state.tree
         root = int(np.asarray(state.root_node)[0])
+        es = mcts.edge_stats(tree, jnp.asarray([0]), jnp.asarray([root]))
+        visits0 = np.asarray(es.visits)[0]
         self._last_root = {
             "actions": np.asarray(tree.edge_action[0, root]),
-            "visits": np.asarray(tree.edge_visits[0, root]),
-            "vsum": np.asarray(tree.edge_value_sum[0, root]),
+            "visits": visits0,
+            # (win, draw) sums reconstructed from the derived rates for the
+            # search-info dumps
+            "vsum": np.stack(
+                [np.asarray(es.q_win)[0], np.asarray(es.q_draw)[0]], -1
+            )
+            * visits0[:, None],
             "prior": np.asarray(tree.edge_prior[0, root].astype(jnp.float32)),
             "escore": np.asarray(tree.edge_score[0, root]),
         }
@@ -314,8 +321,10 @@ class Engine:
         BestEdgeSelector, SearchEngine.cpp:243-270)."""
         tree = state.tree
         ea = np.asarray(tree.edge_action[0])
-        ev = np.asarray(tree.edge_visits[0])
         ec = np.asarray(tree.edge_child[0])
+        # edge visits are the child nodes' visits (see Tree docstring)
+        nv = np.asarray(tree.node_visits[0])
+        ev = np.where(ec >= 0, nv[np.clip(ec, 0, len(nv) - 1)], 0)
         pv: list[Move] = []
         node = int(np.asarray(state.root_node)[0])
         sign = self.sign_to_move()

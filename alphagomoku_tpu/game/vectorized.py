@@ -462,8 +462,13 @@ def outcome_after(
     bsz = board.shape[0]
     is_circle = signs == CIRCLE
     windows = windows_at_one(board, rows, cols)
-    pts = pattern_types(tables, windows, is_circle)
-    five = jnp.any(pts == T.PT_FIVE, axis=-1)
+    # five-only compiled bit math: the pattern_types table read is a
+    # serialized gather (measured 3.2 ms at batch 1280 — the single
+    # largest cost in the MCTS step's terminal check)
+    from ..patterns import bitwise as _bw
+
+    fx, fo = _bw.five_mask(windows, GameRules(tables.rules))
+    five = jnp.any(jnp.where(is_circle[:, None], fo, fx), axis=-1)
     win = jnp.where(is_circle, int(GameOutcome.CIRCLE_WIN), int(GameOutcome.CROSS_WIN))
 
     out = jnp.full(bsz, int(GameOutcome.UNKNOWN), jnp.int8)

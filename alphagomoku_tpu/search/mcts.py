@@ -87,6 +87,15 @@ class MCTSConfig(NamedTuple):
     # so skipping them preserves every proof while cutting the solver's
     # lockstep width ~4-8x (reference analogue: TSS exits immediately on
     # an empty threat histogram, ThreatSpaceSearch.cpp:176-190)
+    loss_prover: bool = False  # prove LOSSES for the leaf side-to-move by
+    # refuting its complete defensive option set (reference: the fail-low
+    # leg of the per-leaf alpha-beta, AlphaBetaSearch.cpp:91-135; here
+    # vct_batched.solve_loss).  Proven-lost leaves get node_score =
+    # loss_in(d); descents then stop at them (proven) and the parent edge
+    # reads the win through invert_up in the minimax backup.
+    loss_cap: int = 64  # leaves per batch sent to the loss prover (top-k
+    # compacted by opponent-threat evidence, like leaf_solver_cap)
+    loss_options: int = 8  # max defensive options refuted per leaf
 
 
 class Tree(NamedTuple):
@@ -104,9 +113,21 @@ class Tree(NamedTuple):
     edge_action: jax.Array  # [B, N, K] int16 (r*W + c; -1 empty slot)
     edge_child: jax.Array  # [B, N, K] int16 (-1 unexpanded)
     edge_prior: jax.Array  # [B, N, K] bf16
-    edge_visits: jax.Array  # [B, N, K] int32
-    edge_value_sum: jax.Array  # [B, N, K, 2] f32
-    edge_score: jax.Array  # [B, N, K] uint16
+    # NOTE on edge statistics: the reference stores visit/value/score per
+    # Edge (Edge.hpp).  Here edge VISITS and VALUES are DERIVED from the
+    # CHILD NODE via `edge_stats` — in a pure tree this is numerically the
+    # reference's accounting (every path through an edge continues into its
+    # unique child and the child's creation visit stands in for the edge's
+    # first backup); through transpositions (DAG) the statistics are SHARED
+    # across parents, i.e. graph-MCTS semantics.  This removes the two
+    # largest per-edge mutable arrays from the hot step: value backup
+    # touches only [B, N] node arrays (the [B, N, K] stat updates measured
+    # ~3.5 ms/step at the bench config).  `edge_score` stays STORED and is
+    # minimax-updated in backup via one-hot einsum byte read/write (the
+    # reference's Edge::setScore) — deriving it from child node scores
+    # would need [B, P, K]-indexed gathers in backup, which XLA compiles
+    # to serialized loop-fusions in this context (measured 6.9 ms/step).
+    edge_score: jax.Array  # [B, N, K] uint16 packed solver/minimax score
     edge_q_init: jax.Array  # [B, N, K] bf16 (q-head prior expectation)
     node_hash: jax.Array  # [B, N, 2] uint32 position hash (transpositions)
     node_count: jax.Array  # [B] int32
@@ -131,13 +152,77 @@ def init_tree(batch: int, cfg: MCTSConfig) -> Tree:
         edge_action=jnp.full((batch, n, k), -1, jnp.int16),
         edge_child=jnp.full((batch, n, k), -1, jnp.int16),
         edge_prior=jnp.zeros((batch, n, k), jnp.bfloat16),
-        edge_visits=jnp.zeros((batch, n, k), jnp.int32),
-        edge_value_sum=jnp.zeros((batch, n, k, 2), jnp.float32),
         edge_score=jnp.full((batch, n, k), S.zero()),
         edge_q_init=jnp.zeros((batch, n, k), jnp.bfloat16),
         node_hash=jnp.zeros((batch, n, 2), jnp.uint32),
         node_count=jnp.zeros(batch, jnp.int32),
     )
+
+
+class EdgeStats(NamedTuple):
+    visits: jax.Array  # [..., K] int32 (0 for unexpanded edges)
+    q_win: jax.Array  # [..., K] f32 parent-perspective win rate
+    q_draw: jax.Array  # [..., K] f32 draw rate
+    score: jax.Array  # [..., K] uint16 live packed score (stored array)
+    child: jax.Array  # [..., K] int32 child ids (-1 unexpanded)
+
+
+def pack_node_stats(tree: Tree) -> jax.Array:
+    """[B, N, 3] f32 (visits, win_sum, draw_sum) — packing once per step
+    lets every descent iteration read child statistics with ONE gather
+    instead of two (the descent while_loop is latency-bound; visit counts
+    are exact in f32 up to 2^24, far above any search budget here)."""
+    return jnp.concatenate(
+        [tree.node_visits.astype(jnp.float32)[..., None], tree.node_value_sum],
+        axis=-1,
+    )
+
+
+def edge_stats_of_rows(
+    tree: Tree,
+    child: jax.Array,
+    stored: jax.Array,
+    packed: jax.Array | None = None,
+) -> EdgeStats:
+    """Derived edge statistics for arbitrary [..., K] child-id rows (see
+    the Tree docstring): visits/values come from the child node inverted
+    to the parent perspective; the score is the stored per-edge array
+    (minimax-updated in backup, exactly the reference's Edge::setScore)."""
+    child = child.astype(jnp.int32)
+    has = child >= 0
+    cs = jnp.clip(child, 0, tree.capacity - 1)
+    flat_idx = cs.reshape(cs.shape[0], -1)
+    if packed is not None:
+        st = jnp.take_along_axis(packed, flat_idx[..., None], 1).reshape(
+            cs.shape + (3,)
+        )
+        nvf = st[..., 0]
+        nvs = st[..., 1:3]
+        visits = jnp.where(has, nvf.astype(jnp.int32), 0)
+    else:
+        nv = jnp.take_along_axis(tree.node_visits, flat_idx, 1).reshape(cs.shape)
+        nvs = jnp.take_along_axis(
+            tree.node_value_sum, flat_idx[..., None], 1
+        ).reshape(cs.shape + (2,))
+        visits = jnp.where(has, nv, 0)
+    denom = jnp.maximum(visits.astype(jnp.float32), 1.0)
+    w_c = nvs[..., 0] / denom
+    d_c = nvs[..., 1] / denom
+    q_win = jnp.where(has, 1.0 - w_c - d_c, 0.0)
+    q_draw = jnp.where(has, d_c, 0.0)
+    return EdgeStats(visits, q_win, q_draw, stored.astype(jnp.uint16), child)
+
+
+def edge_stats(
+    tree: Tree,
+    b: jax.Array,
+    node: jax.Array,
+    packed: jax.Array | None = None,
+) -> EdgeStats:
+    """Derived edge statistics [B, K] for one node row per tree."""
+    child = tree.edge_child[b, node].astype(jnp.int32)
+    stored = tree.edge_score[b, node]
+    return edge_stats_of_rows(tree, child, stored, packed)
 
 
 # ---------------------------------------------------------------------------
@@ -188,6 +273,7 @@ def _edge_utility(
     vl: jax.Array | None = None,
     is_root: jax.Array | None = None,
     tp_params: Any = None,
+    packed: jax.Array | None = None,
 ) -> jax.Array:
     """In-tree edge utility [B, K] for the edges of `node` [B], per
     cfg.policy (reference: the EdgeSelector op family,
@@ -195,14 +281,22 @@ def _edge_utility(
     `vl` [B, K] counts virtual visits from other in-flight leaf selections;
     `is_root` [B] marks trees whose current node is the search root
     (the learnable policy runs its MLP there); `tp_params` are the
-    LearnablePolicySelector MLP parameters."""
+    LearnablePolicySelector MLP parameters; `packed` is an optional
+    pack_node_stats(tree) snapshot (the tree is frozen during select)."""
     b = jnp.arange(tree.batch)
-    visits = tree.edge_visits[b, node]
-    vsum = tree.edge_value_sum[b, node]
-    escore = tree.edge_score[b, node]
+    es = edge_stats(tree, b, node, packed)
+    visits = es.visits
+    qw_e, qd_e = es.q_win, es.q_draw
+    escore = es.score
     valid = tree.edge_action[b, node] != NULL
 
-    n_parent = tree.node_visits[b, node].astype(jnp.float32)
+    if packed is not None:
+        prow = packed[b, node]  # [B, 3]
+        n_parent = prow[..., 0]
+        pv_sum = prow[..., 1:3]
+    else:
+        n_parent = tree.node_visits[b, node].astype(jnp.float32)
+        pv_sum = tree.node_value_sum[b, node]
     c_puct = cfg.exploration_constant + cfg.exploration_scaling * jnp.log(
         jnp.maximum(n_parent, 1.0)
     )
@@ -211,8 +305,7 @@ def _edge_utility(
     c_bandit = 0.25 + 0.073 * jnp.log(jnp.maximum(n_parent, 1.0))
 
     nf = visits.astype(jnp.float32)
-    expectation = (vsum[..., 0] + 0.5 * vsum[..., 1]) / jnp.maximum(nf, 1.0)
-    pv_sum = tree.node_value_sum[b, node]
+    expectation = qw_e + 0.5 * qd_e
     pn = jnp.maximum(n_parent, 1.0)
     parent_q = ((pv_sum[..., 0] + 0.5 * pv_sum[..., 1]) / pn)[:, None]
     parent_wdl = pv_sum / pn[:, None]
@@ -297,7 +390,7 @@ def _edge_utility(
             node[:, None] + jnp.zeros_like(visits),
             jnp.arange(visits.shape[-1], dtype=jnp.int32)[None, :]
             + jnp.zeros_like(visits),
-            tree.node_visits[b, node][:, None] + jnp.zeros_like(visits),
+            n_parent.astype(jnp.int32)[:, None] + jnp.zeros_like(visits),
         )
         unvisited = jnp.where(rnd <= prior, 100.0 + prior, prior)
         util = jnp.where(visits > 0, q_kl + u, unvisited)
@@ -331,9 +424,8 @@ def _edge_utility(
         u = prior * (c_learn * jnp.sqrt(n_parent))[:, None] / (1.0 + nf)
         util_inner = q + u
         if tp_params is not None and is_root is not None:
-            ew = tree.edge_value_sum[b, node] / jnp.maximum(nf, 1.0)[..., None]
             feats = TP.edge_features(
-                n_parent, parent_wdl, nf, prior, ew[..., 0], ew[..., 1]
+                n_parent, parent_wdl, nf, prior, qw_e, qd_e
             )
             logits = TP.apply(tp_params, feats)
             temp = jnp.maximum(
@@ -346,7 +438,7 @@ def _edge_utility(
                 node[:, None] + jnp.zeros_like(visits),
                 jnp.arange(visits.shape[-1], dtype=jnp.int32)[None, :]
                 + jnp.zeros_like(visits),
-                tree.node_visits[b, node][:, None] + jnp.zeros_like(visits),
+                n_parent.astype(jnp.int32)[:, None] + jnp.zeros_like(visits),
             )
             gumbel = -jnp.log(-jnp.log(jnp.clip(rnd, 1e-7, 1.0 - 1e-7)))
             util_root = logits / temp + gumbel
@@ -373,10 +465,12 @@ def select_edge(
     vl: jax.Array | None = None,
     is_root: jax.Array | None = None,
     tp_params: Any = None,
+    packed: jax.Array | None = None,
 ) -> jax.Array:
     """Best edge slot [B] of `node` [B] by the configured in-tree policy."""
     return jnp.argmax(
-        _edge_utility(tree, cfg, node, prior, vl, is_root, tp_params), axis=-1
+        _edge_utility(tree, cfg, node, prior, vl, is_root, tp_params, packed),
+        axis=-1,
     ).astype(jnp.int32)
 
 
@@ -504,11 +598,12 @@ class SearchStats(NamedTuple):
     proven_revisits: jax.Array  # descents ending at a proven node
     terminals: jax.Array  # leaves that were terminal positions
     solver_wins: jax.Array  # leaf-solver proven wins
+    solver_losses: jax.Array  # loss-prover proven losses
 
     @staticmethod
     def zeros(batch: int) -> "SearchStats":
         z = jnp.zeros(batch, jnp.int32)
-        return SearchStats(z, z, z, z, z, z, z)
+        return SearchStats(z, z, z, z, z, z, z, z)
 
     def summary(self, sims: jax.Array) -> dict:
         """Host-side aggregate dict (printable after a search)."""
@@ -524,6 +619,7 @@ class SearchStats(NamedTuple):
             "proven_revisits": f(self.proven_revisits),
             "terminals": f(self.terminals),
             "solver_wins": f(self.solver_wins),
+            "solver_losses": f(self.solver_losses),
         }
 
 
@@ -594,6 +690,10 @@ def make_simulate_fn(
         b = jnp.arange(bsz)
         n_iota = jnp.arange(tree.capacity, dtype=jnp.int32)[None, :]  # [1, N]
         k_iota = jnp.arange(K, dtype=jnp.int32)
+        # node statistics snapshot for the descents (the tree is frozen
+        # during select): one fused [B, N, 3] pack → one gather per
+        # descent iteration instead of two
+        packed_stats = pack_node_stats(tree)
 
         # ------------------------------------------------------------------
         # SELECT: S descents, each seeing the previous paths as virtual loss
@@ -621,6 +721,7 @@ def make_simulate_fn(
                 slot = select_edge(
                     tree, cfg, cur, prior, vl,
                     is_root=(cur == state.root_node), tp_params=tp_params,
+                    packed=packed_stats,
                 )
                 action = tree.edge_action[b, cur, slot]
                 child = tree.edge_child[b, cur, slot]
@@ -795,6 +896,47 @@ def make_simulate_fn(
             else:
                 cap = 0
                 solve_board, solve_stm = boards_f, stm_f
+            fuse_loss = cfg.loss_prover and cfg.leaf_solver == "vct"
+            if fuse_loss:
+                # LOSS proving (reference: the fail-low leg of the per-leaf
+                # alpha-beta over complete defensive move lists,
+                # AlphaBetaSearch.cpp:91-135): candidates are leaves where
+                # the OPPONENT of the side to move holds standing threats
+                # (opp five / open-four / double-four bits of the encoded
+                # features).  The prepared defender-option children are
+                # CONCATENATED into the win solver's lockstep batch so both
+                # legs ride one solve machine.
+                from . import vct_batched as _vctb
+
+                lcap = max(1, min(int(cfg.loss_cap), flat))
+                opp_bits = (packed_f >> jnp.uint32(20)) & jnp.uint32(0xFFF)
+                opp_threat = (opp_bits & jnp.uint32(0b111 << 8)) != 0
+                cand_l = (
+                    opp_threat.any((1, 2)) & need_f & ~terminal_f
+                )
+                sel_l = jax.lax.top_k(cand_l.astype(jnp.int32), lcap)[1]
+                oh_l = (
+                    sel_l[:, None]
+                    == jnp.arange(flat, dtype=jnp.int32)[None, :]
+                )  # [lcap, flat]
+                ohl_bf = oh_l.astype(jnp.bfloat16)
+                lb_board = jnp.round(jnp.einsum(
+                    "kf,fx->kx", ohl_bf,
+                    boards_f.reshape(flat, -1).astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )).astype(jnp.int8).reshape((lcap,) + boards_f.shape[1:])
+                lb_stm = jnp.round(jnp.einsum(
+                    "kf,f->k", ohl_bf, stm_f.astype(jnp.bfloat16),
+                    preferred_element_type=jnp.float32,
+                )).astype(jnp.int8)
+                prep = _vctb.prepare_loss(
+                    tables, lb_board, lb_stm, cfg.loss_options
+                )
+                n_win_rows = solve_board.shape[0]
+                solve_board = jnp.concatenate(
+                    [solve_board, prep.child_board], 0
+                )
+                solve_stm = jnp.concatenate([solve_stm, prep.child_stm], 0)
             if cfg.leaf_solver == "vcf":
                 from . import vcf as _vcf
 
@@ -811,6 +953,16 @@ def make_simulate_fn(
                     max_depth=cfg.leaf_solver_depth,
                     max_steps=cfg.leaf_solver_steps,
                     max_threes=cfg.leaf_solver_threes,
+                )
+            if fuse_loss:
+                M = int(cfg.loss_options)
+                cwin = sres.win[n_win_rows:].reshape(lcap, M)
+                cdist = sres.distance[n_win_rows:].reshape(lcap, M)
+                lres = _vctb.finish_loss(prep, cwin, cdist)
+                sres = type(sres)(
+                    win=sres.win[:n_win_rows],
+                    best_move=sres.best_move[:n_win_rows],
+                    distance=sres.distance[:n_win_rows],
                 )
             if cap:
                 # scatter the compacted proofs back to the flat leaf batch
@@ -850,6 +1002,24 @@ def make_simulate_fn(
             )
             policy_f = jnp.where(
                 onehot_best.reshape(policy_f.shape), policy_f + 1.0, policy_f
+            )
+
+        solver_loss_f = jnp.zeros(boards_f.shape[0], bool)
+        if cfg.leaf_solver != "none" and cfg.loss_prover and cfg.leaf_solver == "vct":
+            # scatter the fused loss proofs back to the flat leaf batch; a
+            # direct win proof (if both fired) takes precedence
+            row_valid = (oh_l & cand_l[None, :]).any(-1)  # [lcap]
+            lost_rows = lres.loss & row_valid
+            lost_full = (oh_l & lost_rows[:, None]).any(0) & ~solver_win_f
+            dist_full = (
+                oh_l * jnp.where(lost_rows, lres.distance, 0)[:, None]
+            ).sum(0)
+            loss_sc = S.loss_in(jnp.clip(dist_full, 1, 512))
+            solver_loss_f = lost_full
+            analysis_f = analysis_f._replace(
+                node_score=jnp.where(
+                    lost_full, loss_sc, analysis_f.node_score
+                ),
             )
 
         if profile_cutoff == "evaluate":
@@ -998,10 +1168,22 @@ def make_simulate_fn(
         same_ss = key_bs[:, :, None] == key_bs[:, None, :]  # [B, S, S]
         earlier = (s_iota[None, :] < s_iota[:, None])[None]  # [1, S, S]
         first = cand & ~(same_ss & cand[:, None, :] & earlier).any(-1)
-        rank = jnp.cumsum(first.astype(jnp.int32), 1) - first.astype(jnp.int32)
-        do_exp_bs = first & (tree.node_count[:, None] + rank < tree.capacity)
-        new_idx_bs = jnp.where(do_exp_bs, tree.node_count[:, None] + rank, 0)
-        alloc = tree.node_count + do_exp_bs.sum(1)
+        # uniform lockstep allocation: sub s owns slot `start + s` in EVERY
+        # tree (one scalar frontier), so all new-row writes become
+        # dynamic-update-slice blocks instead of one-hot full-array passes
+        # (measured ~1.5 ms/step of [B, N, K] where/einsum traffic at the
+        # bench config).  Subs that do not expand (dedup / transposition /
+        # terminal / proven revisit) leave their slot in the init state —
+        # wasted capacity, never wrong.  node_count stays uniform across
+        # the batch; lanes re-initialized by reuse_or_init_root simply skip
+        # the [1, frontier) gap.
+        frontier = jnp.max(tree.node_count)
+        start = jnp.minimum(frontier, jnp.int32(tree.capacity - NSIM))
+        slot_ids = start + s_iota  # [S]
+        free_slot = slot_ids >= frontier  # False when clamped into old rows
+        do_exp_bs = first & free_slot[None, :]
+        new_idx_bs = jnp.broadcast_to(slot_ids[None, :], (bsz, NSIM))
+        alloc = jnp.broadcast_to(jnp.maximum(frontier, start + NSIM), (bsz,))
         # duplicates: same edge as an expanded group-first
         first_exp = same_ss & do_exp_bs[:, None, :]  # [B, S, S']
         dup_bs = cand & ~first & first_exp.any(-1)
@@ -1029,118 +1211,44 @@ def make_simulate_fn(
         )
 
         # -- edge-row writes of the new nodes --------------------------------
-        # Rows at the allocation frontier are still in their init_tree state
-        # (edge_child=-1, visits=0, value_sum=0 — allocation is monotone and
-        # per-lane re-init swaps in a fresh init-state tree), so only the
-        # fields with non-init content need writing.  One sub: a direct
-        # broadcast where-write.  Several subs: exact one-hot byte-split
-        # einsum placement (new nodes have distinct indices, so the sum
-        # places each row exactly once) — the kernel count stays flat in S.
+        # One dynamic-update-slice block per array at the shared frontier:
+        # read-modify-write keeps non-expanding subs' slots exactly as they
+        # were (init state, or live rows if the start got clamped at
+        # capacity — those subs have do_exp False).
         import jax.lax as lax
 
-        if NSIM == 1:
-            rm = (
-                (n_iota == new_idx_bs[:, 0][:, None]) & do_exp_bs[:, 0][:, None]
-            )[..., None]  # [B, N, 1]
-            tree = tree._replace(
-                edge_action=jnp.where(
-                    rm, actions_bs[:, 0].astype(jnp.int16)[:, None, :],
-                    tree.edge_action,
-                ),
-                edge_prior=jnp.where(
-                    rm, priors_bs[:, 0].astype(jnp.bfloat16)[:, None, :],
-                    tree.edge_prior,
-                ),
-                edge_score=jnp.where(
-                    rm, escore0_bs[:, 0][:, None, :], tree.edge_score
-                ),
-            )
-            if needs_q_init:
-                tree = tree._replace(
-                    edge_q_init=jnp.where(
-                        rm, q_init_bs[:, 0].astype(jnp.bfloat16)[:, None, :],
-                        tree.edge_q_init,
-                    )
-                )
-        else:
-            oh_new = (
-                (n_iota[:, None, :] == new_idx_bs[..., None])
-                & do_exp_bs[..., None]
-            ).astype(jnp.bfloat16)  # [B, S, N]
-            row_mask = jnp.einsum("bsn->bn", oh_new) > 0.5  # [B, N]
+        def rmw3(arr, blk_new):
+            cur = lax.dynamic_slice(arr, (0, start, 0), (bsz, NSIM, K))
+            blk = jnp.where(do_exp_bs[..., None], blk_new.astype(arr.dtype), cur)
+            return lax.dynamic_update_slice(arr, blk, (0, start, 0))
 
-            def place_u16(vals_bs_u16):
-                v = vals_bs_u16.astype(jnp.int32)
-                hi = ((v >> 8) & 0xFF).astype(jnp.bfloat16)
-                lo = (v & 0xFF).astype(jnp.bfloat16)
-                out = jnp.einsum("bsn,bsk->bnk", oh_new, hi, **f32p) * 256.0 + (
-                    jnp.einsum("bsn,bsk->bnk", oh_new, lo, **f32p)
-                )
-                return jnp.round(out).astype(jnp.int32).astype(jnp.uint16)
-
-            m3 = row_mask[..., None]
-            tree = tree._replace(
-                edge_action=jnp.where(
-                    m3,
-                    lax.bitcast_convert_type(
-                        place_u16((actions_bs & 0xFFFF).astype(jnp.uint16)),
-                        jnp.int16,
-                    ),
-                    tree.edge_action,
-                ),
-                edge_prior=jnp.where(
-                    m3,
-                    lax.bitcast_convert_type(
-                        place_u16(
-                            lax.bitcast_convert_type(
-                                priors_bs.astype(jnp.bfloat16), jnp.uint16
-                            )
-                        ),
-                        jnp.bfloat16,
-                    ),
-                    tree.edge_prior,
-                ),
-                edge_score=jnp.where(m3, place_u16(escore0_bs), tree.edge_score),
-            )
-            if needs_q_init:
-                tree = tree._replace(
-                    edge_q_init=jnp.where(
-                        m3,
-                        lax.bitcast_convert_type(
-                            place_u16(
-                                lax.bitcast_convert_type(
-                                    q_init_bs.astype(jnp.bfloat16), jnp.uint16
-                                )
-                            ),
-                            jnp.bfloat16,
-                        ),
-                        tree.edge_q_init,
-                    )
-                )
+        tree = tree._replace(
+            edge_action=rmw3(tree.edge_action, actions_bs),
+            edge_prior=rmw3(tree.edge_prior, priors_bs),
+            edge_score=rmw3(tree.edge_score, escore0_bs),
+        )
+        if needs_q_init:
+            tree = tree._replace(edge_q_init=rmw3(tree.edge_q_init, q_init_bs))
         tree = tree._replace(node_count=alloc)
 
         # -- node rows + parent links ----------------------------------------
-        # node arrays are [B, N] (small); per-sub where passes stay cheap
-        for s in range(NSIM):
-            rm = (n_iota == new_idx_bs[:, s][:, None]) & do_exp_bs[:, s][:, None]
-            tree = tree._replace(
-                node_visits=jnp.where(rm, 1, tree.node_visits),
-                node_value_sum=jnp.where(
-                    rm[..., None], start_value_bs[:, s][:, None, :],
-                    tree.node_value_sum,
-                ),
-                node_score=jnp.where(rm, nsn_bs[:, s][:, None], tree.node_score),
-                node_moves_left_sum=jnp.where(
-                    rm, ml_bs[:, s][:, None], tree.node_moves_left_sum
-                ),
-                node_complete=jnp.where(
-                    rm, (complete_bs[:, s] & ~term_bs[:, s])[:, None],
-                    tree.node_complete,
-                ),
-                node_hash=jnp.where(
-                    rm[..., None], hash_bs[:, s][:, None, :], tree.node_hash
-                ),
-            )
+        def rmw2(arr, blk_new):
+            """[B, N(,C)] node arrays: one DUS block at the frontier."""
+            starts = (0, start) + (0,) * (arr.ndim - 2)
+            sizes = (bsz, NSIM) + arr.shape[2:]
+            cur = lax.dynamic_slice(arr, starts, sizes)
+            m = do_exp_bs.reshape(do_exp_bs.shape + (1,) * (arr.ndim - 2))
+            blk = jnp.where(m, blk_new.astype(arr.dtype), cur)
+            return lax.dynamic_update_slice(arr, blk, starts)
+
+        tree = tree._replace(
+            node_visits=rmw2(tree.node_visits, jnp.ones((bsz, NSIM), jnp.int32)),
+            node_value_sum=rmw2(tree.node_value_sum, start_value_bs),
+            node_score=rmw2(tree.node_score, nsn_bs),
+            node_moves_left_sum=rmw2(tree.node_moves_left_sum, ml_bs),
+            node_complete=rmw2(tree.node_complete, complete_bs & ~term_bs),
+            node_hash=rmw2(tree.node_hash, hash_bs),
+        )
 
         # parent links: one einsum placement for all subs (duplicate-found
         # links share the same target, keep only each edge's first linker)
@@ -1239,17 +1347,13 @@ def make_simulate_fn(
         )
         vsel_all = jnp.where(valid_all[..., None], val_all, 0.0)
 
-        k_iota_row = k_iota[None, None, :]
-        slot_hit = (k_iota_row == sl_all[..., None]) & valid_all[..., None]  # [B,P,K]
-        ev_rows_add = jnp.where(slot_hit[..., None], val_all[:, :, None, :], 0.0)
+        # edge statistics are derived from child nodes (see Tree docstring),
+        # so path credit lands on [B, N] node arrays ONLY — the path nodes
+        # are the parents, and the deepest edge's child got its credit at
+        # creation / via the touch pass above
         onehot_nd = (
             (n_iota[:, None, :] == nd_safe[:, :, None]) & valid_all[..., None]
         ).astype(jnp.bfloat16)  # [B, P, N]; 0/1 exact in bf16, halves traffic
-
-        delta_ev = jnp.einsum("bpn,bpkc->bnkc", onehot_nd, ev_rows_add, **f32p)
-        delta_evis = jnp.einsum(
-            "bpn,bpk->bnk", onehot_nd, slot_hit.astype(jnp.bfloat16), **f32p
-        )
         delta_nvis = jnp.einsum(
             "bpn,bp->bn", onehot_nd, valid_all.astype(jnp.bfloat16), **f32p
         )
@@ -1258,8 +1362,6 @@ def make_simulate_fn(
             "bpn,bp->bn", onehot_nd, jnp.where(valid_all, ml_all, 0.0), **f32p
         )
         tree = tree._replace(
-            edge_value_sum=tree.edge_value_sum + delta_ev,
-            edge_visits=tree.edge_visits + jnp.round(delta_evis).astype(jnp.int32),
             node_visits=tree.node_visits + jnp.round(delta_nvis).astype(jnp.int32),
             node_value_sum=tree.node_value_sum + delta_nval,
             node_moves_left_sum=tree.node_moves_left_sum + delta_nml,
@@ -1281,8 +1383,10 @@ def make_simulate_fn(
         sl_sd = jnp.where(valid_sd, ps_sd, 0)
 
         # one-hot einsum READS of all path rows (per-batch-row gathers
-        # serialize on TPU; bytes are exact in bf16; invalid rows read
-        # garbage that the `vd` guards below never consume)
+        # compile to serialized loop-fusions in this context — measured
+        # 6.9 ms for the [B, P, K] score read vs ~0.1 ms for the einsum
+        # form; bytes are exact in bf16; invalid rows read garbage that
+        # the `vd` guards below never consume)
         def byte_read_p(arr_u16, per_slot: bool):
             a32 = arr_u16.astype(jnp.int32)
             hi = ((a32 >> 8) & 0xFF).astype(jnp.bfloat16)
@@ -1368,6 +1472,7 @@ def make_simulate_fn(
             lo = (delta_p & 0xFF).astype(jnp.bfloat16)
             if per_slot:
                 zero = jnp.bfloat16(0)
+                k_iota_row = k_iota[None, None, :]
                 hi = jnp.where(k_iota_row == sl_all[..., None], hi[..., None], zero)
                 lo = jnp.where(k_iota_row == sl_all[..., None], lo[..., None], zero)
                 out = jnp.einsum("bpn,bpk->bnk", onehot_nd, hi, **f32p) * 256.0 + (
@@ -1387,6 +1492,7 @@ def make_simulate_fn(
         # per-phase counters (reference: SearchStats, Search.hpp:33-54)
         st = state.stats
         sw = solver_win_f.reshape(NSIM, bsz).astype(jnp.int32).sum(0)
+        sl = solver_loss_f.reshape(NSIM, bsz).astype(jnp.int32).sum(0)
         new_stats = SearchStats(
             depth_sum=st.depth_sum + steps_bs.sum(1),
             expansions=st.expansions + do_exp_bs.astype(jnp.int32).sum(1),
@@ -1397,6 +1503,7 @@ def make_simulate_fn(
             terminals=st.terminals
             + (term_bs & need_bs).astype(jnp.int32).sum(1),
             solver_wins=st.solver_wins + sw,
+            solver_losses=st.solver_losses + sl,
         )
 
         return SearchState(
@@ -1475,6 +1582,51 @@ def init_root(
         policy = jnp.where(
             onehot_best.reshape(policy.shape), policy + 1.0, policy
         )
+        if cfg.loss_prover:
+            # prove a lost ROOT over the COMPLETE defensive option set —
+            # unlike the complete-node minimax this does not require all
+            # legal moves to fit in the K edge slots (reference: the
+            # fail-low alpha-beta leg, AlphaBetaSearch.cpp:91-135)
+            from . import vct_batched as _vctb
+
+            lcap = max(1, min(int(cfg.loss_cap), bsz))
+            opp_bits = (packed >> jnp.uint32(20)) & jnp.uint32(0xFFF)
+            cand_l = ((opp_bits & jnp.uint32(0b111 << 8)) != 0).any(
+                (1, 2)
+            ) & ~sres.win
+            sel_l = jax.lax.top_k(cand_l.astype(jnp.int32), lcap)[1]
+            oh_l = (
+                sel_l[:, None] == jnp.arange(bsz, dtype=jnp.int32)[None, :]
+            )
+            ohl_bf = oh_l.astype(jnp.bfloat16)
+            lb_board = jnp.round(jnp.einsum(
+                "kf,fx->kx", ohl_bf,
+                board.reshape(bsz, -1).astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )).astype(jnp.int8).reshape((lcap, h, w))
+            lb_stm = jnp.round(jnp.einsum(
+                "kf,f->k", ohl_bf, stm.astype(jnp.bfloat16),
+                preferred_element_type=jnp.float32,
+            )).astype(jnp.int8)
+            lres = _vctb.solve_loss(
+                tables, lb_board, lb_stm,
+                max_options=cfg.loss_options,
+                max_depth=cfg.leaf_solver_depth,
+                max_steps=4 * cfg.leaf_solver_steps,
+                max_threes=cfg.leaf_solver_threes,
+            )
+            lost_rows = lres.loss & (oh_l & cand_l[None, :]).any(-1)
+            lost_full = (oh_l & lost_rows[:, None]).any(0)
+            dist_full = (
+                oh_l * jnp.where(lost_rows, lres.distance, 0)[:, None]
+            ).sum(0)
+            analysis = analysis._replace(
+                node_score=jnp.where(
+                    lost_full,
+                    S.loss_in(jnp.clip(dist_full, 1, 512)),
+                    analysis.node_score,
+                ),
+            )
     restrict = analysis.restrict
     if root_move_mask is not None:
         # opening generators restrict the root move set (reference:
@@ -1684,7 +1836,7 @@ def root_visit_distribution(state: SearchState) -> jax.Array:
     bsz = tree.batch
     h, w = state.root_board.shape[1], state.root_board.shape[2]
     rb = jnp.arange(bsz)
-    visits = tree.edge_visits[rb, state.root_node].astype(jnp.float32)  # [B, K]
+    visits = edge_stats(tree, rb, state.root_node).visits.astype(jnp.float32)
     actions = tree.edge_action[rb, state.root_node]
     valid = actions != NULL
     visits = jnp.where(valid, visits, 0.0)
@@ -1721,9 +1873,10 @@ def select_move(
       else -> visits + expectation * parent_visits + 0.001 * prior"""
     tree = state.tree
     rb = jnp.arange(tree.batch)
-    visits = tree.edge_visits[rb, state.root_node].astype(jnp.float32)
+    es = edge_stats(tree, rb, state.root_node)
+    visits = es.visits.astype(jnp.float32)
     actions = tree.edge_action[rb, state.root_node]
-    escore = tree.edge_score[rb, state.root_node]
+    escore = es.score
     valid = actions != NULL
     h, w = state.root_board.shape[1], state.root_board.shape[2]
 
@@ -1733,9 +1886,7 @@ def select_move(
         )
         slot = jax.random.categorical(key, logits, axis=-1)
     else:
-        n = jnp.maximum(visits, 1.0)
-        ev = tree.edge_value_sum[rb, state.root_node]
-        q = (ev[..., 0] + 0.5 * ev[..., 1]) / n
+        q = es.q_win + 0.5 * es.q_draw
         parent_n = tree.node_visits[rb, state.root_node].astype(jnp.float32)
         prior = tree.edge_prior[rb, state.root_node].astype(jnp.float32)
         util = visits + q * parent_n[:, None] + 0.001 * prior

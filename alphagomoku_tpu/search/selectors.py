@@ -23,12 +23,12 @@ def _root_edges(state: mcts.SearchState):
     rb = jnp.arange(tree.batch)
     root = state.root_node
     actions = tree.edge_action[rb, root].astype(jnp.int32)
-    visits = tree.edge_visits[rb, root].astype(jnp.float32)
-    vsum = tree.edge_value_sum[rb, root]
-    escore = tree.edge_score[rb, root]
+    es = mcts.edge_stats(tree, rb, root)
+    visits = es.visits.astype(jnp.float32)
+    escore = es.score
     prior = tree.edge_prior[rb, root].astype(jnp.float32)
     valid = actions != mcts.NULL
-    q = (vsum[..., 0] + 0.5 * vsum[..., 1]) / jnp.maximum(visits, 1.0)
+    q = es.q_win + 0.5 * es.q_draw
     return actions, visits, q, escore, prior, valid
 
 

@@ -112,14 +112,17 @@ def training_batch_from_state(state) -> tuple[jax.Array, jax.Array, jax.Array]:
     tree = state.tree
     b = jnp.arange(tree.batch)
     root = state.root_node
-    visits = tree.edge_visits[b, root].astype(jnp.float32)
+    from . import mcts as _mcts
+
+    es = _mcts.edge_stats(tree, b, root)
+    visits = es.visits.astype(jnp.float32)
     actions = tree.edge_action[b, root]
     valid = actions != jnp.int16(-1)
     prior = tree.edge_prior[b, root].astype(jnp.float32)
-    ev = tree.edge_value_sum[b, root] / jnp.maximum(visits, 1.0)[..., None]
+    qw, qd = es.q_win, es.q_draw
     n_parent = tree.node_visits[b, root].astype(jnp.float32)
     parent_wdl = tree.node_value_sum[b, root] / jnp.maximum(n_parent, 1.0)[..., None]
-    feats = edge_features(n_parent, parent_wdl, visits, prior, ev[..., 0], ev[..., 1])
+    feats = edge_features(n_parent, parent_wdl, visits, prior, qw, qd)
     target = jnp.where(valid, visits, 0.0)
     target = target / jnp.maximum(target.sum(-1, keepdims=True), 1e-9)
     return feats, target, valid

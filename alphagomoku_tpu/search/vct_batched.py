@@ -253,7 +253,13 @@ def solve(
             # Classified on the post-move board (the attacker's stone can
             # only have removed black patterns, so post-move is exact here).
             blk_wins = V.windows_at_one(board2, block // w, block % w)  # [B,4]
-            blk_pts = V.pattern_types(tables, blk_wins, jnp.zeros(bsz, bool))
+            # compiled bit math (the pattern_types table read is a serialized
+            # gather); four-kinds-and-up are exact without lower priorities
+            blk_pts, _ = bitwise.classify(
+                blk_wins, rules,
+                ("five", "overline", "open_four", "double_four",
+                 "half_open_four"),
+            )
             blk_n4 = (
                 (blk_pts == T.PT_HALF_OPEN_4)
                 | (blk_pts == T.PT_OPEN_4)
@@ -442,3 +448,181 @@ def solve(
     first = jnp.where(win, first, -1)
     distance = jnp.where(win, 2 * final.win_ply + final.win_extra, 0)
     return VCTBatchedResult(win=win, best_move=first, distance=distance)
+
+
+class LossResult(NamedTuple):
+    loss: jax.Array  # [B] bool: the side to move is PROVEN lost
+    distance: jax.Array  # [B] int32 plies to mate (0 when unproven)
+
+
+class LossPrepared(NamedTuple):
+    child_board: jax.Array  # [B*M, H, W] defender-option children
+    child_stm: jax.Array  # [B*M] attacker to move
+    valid: jax.Array  # [B, M] real option lanes
+    provable: jax.Array  # [B] option set is complete and fits M
+    five_case: jax.Array  # [B]
+    n_opts: jax.Array  # [B]
+
+
+def prepare_loss(
+    tables: V.RuleTables,
+    board: jax.Array,
+    stm: jax.Array,
+    max_options: int = 8,
+) -> LossPrepared:
+    """Prove that the side to move LOSES (reference: the LOSS leg of the
+    per-leaf alpha-beta — a fail-low over a COMPLETE defensive move list,
+    src/search/alpha_beta/AlphaBetaSearch.cpp:91-135 with MoveGenerator's
+    MUST_DEFEND stages, MoveGenerator.cpp:258-470).
+
+    TPU-native shape: instead of recursing, ENUMERATE the complete defensive
+    option set (≤ max_options cells), EXPAND the batch by that axis (the
+    defender plays each option), and run the regular attacker VCT on the
+    [B * max_options] children in one lockstep machine.  All options refuted
+    → proven loss, distance = 1 + max(child mate distances).
+
+    Soundness of the option sets (never claims a false loss):
+    - attacker five threat(s) + defender has no own five: the ONLY moves
+      that can avoid an immediate five are the completion cells themselves
+      (a counter-four loses the race: the attacker completes first), so
+      options = attacker five-completion cells (host analogue:
+      defend_loss_in_2, move_generator.py).
+    - no attacker five, defender has NO four/five makers, attacker has a
+      win-in-3 cell (open-four / double-four / 4x4-fork maker): any
+      defender move outside the threat's defensive-table cells loses to the
+      threat's execution — the fork five-cells are distinct, and without
+      counter-fours the defender can never force first (host analogue:
+      defend_loss_in_4's "not has_any_four" branches).  Options = the
+      defensive-table cells of ONE such threat (a complete set vs a single
+      threat is complete for the position).
+    - renju: a black attacker's threat cell must be ~maybe_forbidden (so the
+      execution is legal); a black defender's CERTAINLY-forbidden options
+      (overline / double-four line / two fours — exact, recursion-free) are
+      unplayable and dropped; maybe-forbidden (3x3) options are kept and
+      must be refuted like any other.
+    Everything else (counter-four races, defender fives after blocks,
+    renju fine print) is handled by the child VCT itself."""
+    board = jnp.asarray(board)
+    stm = jnp.asarray(stm)
+    bsz, h, w = board.shape
+    hw = h * w
+    M = max_options
+    rules = GameRules(tables.rules)
+    renju = rules == GameRules.RENJU
+    stm_is_circle = stm == CIRCLE
+    att_sign = jnp.where(stm == CROSS, CIRCLE, CROSS).astype(jnp.int8)
+    att_is_circle = ~stm_is_circle
+
+    pt_cross, pt_circle = L.classify(board, rules, bitwise.THREAT_KINDS)
+    att_pts = jnp.where(att_is_circle[:, None, None, None], pt_circle, pt_cross)
+    def_pts = jnp.where(att_is_circle[:, None, None, None], pt_cross, pt_circle)
+    empty = board == V.NONE
+    att_cross = stm_is_circle[:, None, None]
+    att = L.actor_planes(att_pts, empty, att_cross, renju)
+    dfd = L.actor_planes(def_pts, empty, ~att_cross, renju)
+
+    att5 = att["five"].reshape(bsz, hw)
+    def5 = dfd["five"].reshape(bsz, hw)
+    def_force = jnp.any(def5, -1) | jnp.any(dfd["four"], (1, 2))
+    win3 = att["win3"] & ~att["maybe_forb"] if renju else att["win3"]
+    win3 = win3.reshape(bsz, hw)
+
+    five_case = jnp.any(att5, -1) & ~jnp.any(def5, -1)
+    four_case = ~jnp.any(att5, -1) & ~def_force & jnp.any(win3, -1)
+    # (four_case additionally requires a non-empty table lookup below — a
+    # miss would silently shrink the option set, which must never happen)
+
+    # ---- option set -------------------------------------------------------
+    # five threats: the completion cells
+    opts = att5
+    # win-in-3 threat: defensive-table cells of the FIRST win3 cell
+    rc = jnp.argmax(win3, -1).astype(jnp.int32)
+    mr, mc = rc // w, rc % w
+    ext = _ext_windows_at_one(board, mr, mc)  # [B, 4] pre-move windows
+    pts_at_rc = L.pts_at_cell(att_pts, rc)  # [B, 4] attacker PT per dir
+    dic = jnp.broadcast_to(stm_is_circle[:, None], (bsz, 4))
+    dmask = jnp.zeros((bsz, 4), jnp.uint32)
+    for code in (T.PT_OPEN_4, T.PT_DOUBLE_4, T.PT_HALF_OPEN_4):
+        m = DEF.get_moves_batched(rules, ext, dic, code).astype(jnp.uint32)
+        dmask = jnp.where(pts_at_rc == code, m, dmask)
+    steps_np = np.asarray(V.DIRECTION_STEPS, np.int32)  # [4, 2]
+    offs = np.arange(DEF.EXT_LENGTH, dtype=np.int32) - DEF.CENTER  # [13]
+    bit = ((dmask[:, :, None] >> jnp.asarray(
+        np.arange(DEF.EXT_LENGTH, dtype=np.uint32))[None, None, :]) & 1) == 1
+    rr = mr[:, None, None] + offs[None, None, :] * steps_np[None, :, 0:1]
+    cc = mc[:, None, None] + offs[None, None, :] * steps_np[None, :, 1:2]
+    ok = bit & (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
+    cell = jnp.clip(rr, 0, h - 1) * w + jnp.clip(cc, 0, w - 1)
+    tbl_opts = jnp.any(
+        (cell[..., None] == jnp.arange(hw, dtype=jnp.int32)) & ok[..., None],
+        axis=(1, 2),
+    )  # [B, HW]
+    # the threat cell itself always defends (occupying it kills the move)
+    tbl_opts = tbl_opts | (rc[:, None] == jnp.arange(hw, dtype=jnp.int32))
+    four_case = four_case & jnp.any(dmask != 0, -1)
+    opts = jnp.where(five_case[:, None], opts,
+                     jnp.where(four_case[:, None], tbl_opts, False))
+    opts = opts & empty.reshape(bsz, hw)
+    if renju:
+        # black defender: certainly-forbidden cells are unplayable
+        opts = opts & ~jnp.where(
+            (~stm_is_circle)[:, None], dfd["certain_forb"].reshape(bsz, hw),
+            False,
+        )
+    n_opts = opts.sum(-1)
+    provable = (five_case | four_case) & (n_opts <= M)
+
+    # ---- expand the batch by the option axis and run the attacker VCT -----
+    opt_idx = jax.lax.top_k(opts.astype(jnp.int32)
+                            * (hw - jnp.arange(hw, dtype=jnp.int32))
+                            + opts.astype(jnp.int32), M)[1]  # [B, M]
+    oh_opt = (opt_idx[..., None]
+              == jnp.arange(hw, dtype=jnp.int32)[None, None, :])  # [B, M, HW]
+    valid = (oh_opt & opts[:, None, :]).any(-1) & provable[:, None]
+    child = jnp.where(
+        (oh_opt & valid[..., None]).reshape(bsz, M, h, w),
+        jnp.broadcast_to(stm[:, None, None, None], (bsz, M, h, w)),
+        board[:, None],
+    ).reshape(bsz * M, h, w)
+    child_stm = jnp.broadcast_to(att_sign[:, None], (bsz, M)).reshape(-1)
+    return LossPrepared(
+        child_board=child, child_stm=child_stm, valid=valid,
+        provable=provable, five_case=five_case, n_opts=n_opts,
+    )
+
+
+def finish_loss(prep: LossPrepared, cwin: jax.Array, cdist: jax.Array) -> LossResult:
+    """Combine the children's VCT verdicts ([B, M] win/distance) into the
+    loss proof: all real options refuted -> the side to move is lost."""
+    valid, provable = prep.valid, prep.provable
+    five_case, n_opts = prep.five_case, prep.n_opts
+    refuted_all = (cwin | ~valid).all(-1)
+    loss = provable & refuted_all
+    base = jnp.where(five_case, 1, 3)  # mate length of the raw execution
+    worst = jnp.where(valid & cwin, cdist, base[:, None]).max(-1)
+    distance = jnp.where(loss, 1 + jnp.where(n_opts > 0, worst, base), 0)
+    return LossResult(loss=loss, distance=distance.astype(jnp.int32))
+
+
+def solve_loss(
+    tables: V.RuleTables,
+    board: jax.Array,
+    stm: jax.Array,
+    max_options: int = 8,
+    max_depth: int = 8,
+    max_steps: int = 384,
+    max_threes: int = 2,
+) -> LossResult:
+    """prepare_loss + attacker VCT on the option children + finish_loss
+    (one call for standalone use; the MCTS leaf solver instead CONCATENATES
+    the prepared children into its win-solve lockstep batch)."""
+    prep = prepare_loss(tables, board, stm, max_options)
+    bsz = prep.valid.shape[0]
+    M = prep.valid.shape[1]
+    sres = solve(
+        tables, prep.child_board, prep.child_stm,
+        max_depth=max_depth, max_steps=max_steps, max_threes=max_threes,
+    )
+    return finish_loss(
+        prep, sres.win.reshape(bsz, M), sres.distance.reshape(bsz, M)
+    )

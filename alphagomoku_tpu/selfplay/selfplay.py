@@ -71,10 +71,10 @@ def _root_q(state: mcts.SearchState):
     h, w = state.root_board.shape[1], state.root_board.shape[2]
     rb = jnp.arange(bsz)
     actions = tree.edge_action[rb, state.root_node].astype(jnp.int32)
-    visits = tree.edge_visits[rb, state.root_node]
-    vsum = tree.edge_value_sum[rb, state.root_node]
+    es = mcts.edge_stats(tree, rb, state.root_node)
+    visits = es.visits
     valid = (actions != mcts.NULL) & (visits > 0)
-    q = vsum / jnp.maximum(visits.astype(jnp.float32), 1.0)[..., None]
+    q = jnp.stack([es.q_win, es.q_draw], axis=-1)
     b = jnp.arange(bsz)[:, None]
     idx = jnp.clip(actions, 0, h * w - 1)
     qmap = jnp.zeros((bsz, h * w, 2), jnp.float32)

@@ -60,7 +60,8 @@ def apply(v, planes):
 # shrinks the backup path machinery (P = leaf_batch * max_depth).
 cfg = mcts.MCTSConfig(max_nodes=SIMS + 8, max_edges=32, max_depth=16,
                       leaf_solver={solver!r}, leaf_solver_steps=16,
-                      leaf_solver_cap={cap})
+                      leaf_solver_cap={cap}, loss_prover={loss_prover},
+                      loss_cap=32)
 
 rng = np.random.default_rng(0)
 boards = np.zeros((BATCH, H, W), np.int8)
@@ -119,11 +120,11 @@ print("RESULT " + json.dumps({{
 
 def run_config(
     blocks: int, filters: int, batch: int,
-    solver: str = "none", cap: int = 0,
+    solver: str = "none", cap: int = 0, loss_prover: bool = False,
 ) -> dict:
     code = _BODY.format(
         cwd=os.getcwd(), blocks=blocks, filters=filters, batch=batch,
-        solver=solver, cap=cap,
+        solver=solver, cap=cap, loss_prover=loss_prover,
     )
     env = dict(os.environ)
     env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
@@ -151,6 +152,18 @@ def main() -> None:
         extras["strength"]["config"] = "leaf_solver=vct steps=16 cap=256"
     except Exception as exc:  # the headline must survive a secondary failure
         extras["strength"] = {"error": str(exc)[:200]}
+    # strength + the LOSS prover (complete-defense refutation on top of the
+    # win solver -- the full engine configuration)
+    try:
+        extras["strength_loss_prover"] = run_config(
+            blocks=6, filters=64, batch=1280, solver="vct", cap=256,
+            loss_prover=True,
+        )
+        extras["strength_loss_prover"]["config"] = (
+            "leaf_solver=vct steps=16 cap=256 loss_prover cap=32"
+        )
+    except Exception as exc:
+        extras["strength_loss_prover"] = {"error": str(exc)[:200]}
     try:
         extras["net_8x128"] = run_config(blocks=8, filters=128, batch=1280)
     except Exception as exc:

@@ -62,7 +62,10 @@ def test_tree_invariants(net_and_vars, tables):
     # root visits == 1 (init) + simulations that passed through the root
     root_visits = np.asarray(tree.node_visits[:, 0])
     assert (root_visits >= 60).all()  # allow a few proven-revisit shortcuts
-    edge_visits = np.asarray(tree.edge_visits[:, 0]).sum(-1)
+    rb = jnp.arange(tree.batch)
+    edge_visits = np.asarray(
+        mcts.edge_stats(tree, rb, state.root_node).visits
+    ).sum(-1)
     assert (edge_visits <= root_visits).all()
 
     dist = np.asarray(mcts.root_visit_distribution(state))

@@ -49,7 +49,10 @@ def test_visit_accounting(net_and_vars, tables, leaf_batch):
     tree = state.tree
     root_visits = np.asarray(tree.node_visits[:, 0])
     assert (root_visits >= 48).all()  # most sims pass through the root
-    edge_visits = np.asarray(tree.edge_visits[:, 0]).sum(-1)
+    rb = jnp.arange(tree.batch)
+    edge_visits = np.asarray(
+        mcts.edge_stats(tree, rb, state.root_node).visits
+    ).sum(-1)
     assert (edge_visits <= root_visits).all()
     counts = np.asarray(tree.node_count)
     assert (counts > leaf_batch).all() and (counts <= tree.capacity).all()

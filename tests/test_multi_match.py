@@ -84,21 +84,24 @@ def test_select_move_best_edge_ordering():
     0.001*prior, WIN pinned above everything, LOSS below."""
     from alphagomoku_tpu.search import score as S
 
-    cfg = mcts.MCTSConfig(max_nodes=4, max_edges=4, max_depth=4)
+    cfg = mcts.MCTSConfig(max_nodes=8, max_edges=4, max_depth=4)
     tree = mcts.init_tree(1, cfg)
-    # root node 0: 3 edges. visits 10/9/1; q 0.2/0.9/0.5; parent visits 20
+    # root node 0: 3 edges to child nodes 1/2/3 (edge stats are derived
+    # from the children): visits 10/9/1; parent-view q 0.2/0.9/0.5 means
+    # child win rates 0.8/0.1/0.5; parent visits 20
+    q = jnp.asarray([0.2, 0.9, 0.5])
+    n = jnp.asarray([10.0, 9.0, 1.0])
     tree = tree._replace(
-        node_visits=tree.node_visits.at[0, 0].set(20),
+        node_visits=tree.node_visits.at[0, 0].set(20)
+        .at[0, 1:4].set(n.astype(jnp.int32)),
+        node_value_sum=tree.node_value_sum.at[0, 1:4, 0].set((1.0 - q) * n),
         edge_action=tree.edge_action.at[0, 0, :3].set(
             jnp.asarray([5, 6, 7], jnp.int16)
         ),
-        edge_visits=tree.edge_visits.at[0, 0, :3].set(
-            jnp.asarray([10, 9, 1])
+        edge_child=tree.edge_child.at[0, 0, :3].set(
+            jnp.asarray([1, 2, 3], jnp.int16)
         ),
-        edge_value_sum=tree.edge_value_sum.at[0, 0, :3, 0].set(
-            jnp.asarray([2.0, 8.1, 0.5])
-        ),
-        node_count=tree.node_count.at[0].set(1),
+        node_count=tree.node_count.at[0].set(4),
     )
     state = mcts.SearchState(
         tree=tree,

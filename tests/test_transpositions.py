@@ -41,10 +41,13 @@ def run(setup, use_tt, sims=300):
 def test_transpositions_share_nodes(setup):
     with_tt = run(setup, True)
     without_tt = run(setup, False)
-    n_with = int(np.asarray(with_tt.tree.node_count)[0])
-    n_without = int(np.asarray(without_tt.tree.node_count)[0])
-    # same simulation count, strictly fewer allocated nodes with sharing
-    assert n_with < n_without, (n_with, n_without)
+    # allocation is lockstep-uniform (node_count = frontier, not #used
+    # nodes), so sharing shows up as transposition hits + fewer expansions
+    tt_hits = int(np.asarray(with_tt.stats.transpositions)[0])
+    assert tt_hits > 0, "expected transposition hits on move-order swaps"
+    exp_with = int(np.asarray(with_tt.stats.expansions)[0])
+    exp_without = int(np.asarray(without_tt.stats.expansions)[0])
+    assert exp_with < exp_without, (exp_with, exp_without)
     # both searches stay well-formed
     for st in (with_tt, without_tt):
         dist = np.asarray(mcts.root_visit_distribution(st))
