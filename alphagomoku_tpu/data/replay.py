@@ -124,10 +124,49 @@ class ReplayBuffer:
         return batch
 
     def iter_batches(
-        self, batch_size: int, steps: int, rng: np.random.Generator, sampler="visits"
+        self,
+        batch_size: int,
+        steps: int,
+        rng: np.random.Generator,
+        sampler: str = "visits",
+        prefetch: int = 2,
     ) -> Iterator[dict]:
+        """Double-buffered batch stream: batches are packed on a background
+        thread while the learner consumes the previous one (reference:
+        SupervisedLearning's prepare_training_data thread overlapping
+        getNextBatch, SupervisedLearning.cpp:104-152).  prefetch=0 falls back
+        to the synchronous loop."""
+        if prefetch <= 0 or steps <= 1:
+            for _ in range(steps):
+                yield self.sample(batch_size, rng, sampler)
+            return
+        import queue
+        import threading
+
+        q: queue.Queue = queue.Queue(maxsize=prefetch)
+        err: list[BaseException] = []
+
+        def produce():
+            try:
+                for _ in range(steps):
+                    q.put(self.sample(batch_size, rng, sampler))
+            except BaseException as exc:  # surfaced on the consumer side
+                err.append(exc)
+                q.put(None)
+
+        # the buffer must not mutate while the producer reads it: sampling
+        # only touches self.generations, which callers mutate between
+        # iterations, not between batches of one iteration
+        t = threading.Thread(target=produce, daemon=True)
+        t.start()
         for _ in range(steps):
-            yield self.sample(batch_size, rng, sampler)
+            item = q.get()
+            if item is None:
+                break
+            yield item
+        t.join()
+        if err:
+            raise err[0]
 
     # -- persistence (reference: train_buffer/buffer_N.bin, zlib) ----------
 

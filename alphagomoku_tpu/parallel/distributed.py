@@ -1,4 +1,4 @@
-"""Multi-host bring-up and actor->learner transport.
+"""Multi-host bring-up, host-sharded data ingest and the DP learner step.
 
 The reference has no distributed backend at all (single node, threads +
 shared memory; its socket code is dead — SURVEY.md §2.12); multi-host
@@ -7,20 +7,26 @@ standard JAX recipe:
 
 - `initialize()` wraps `jax.distributed.initialize` (coordinator address +
   process count + process id, or automatic detection on TPU pods).
-- one global `Mesh` spans all hosts; the `dp` axis covers every chip.
-- the jitted selfplay step runs SPMD: each host computes its batch shard,
-  zero collectives (play is embarrassingly parallel).
-- sample transport actors->learner IS the sharding: `make_targets` output
-  stays dp-sharded, and the jitted train step consumes it shard-wise with
-  GSPMD inserting the gradient all-reduce over ICI/DCN — replacing the
-  reference's in-process mutex queue (GeneratorManager::addToBuffer).
-- parameter broadcast learner->actors is implicit: replicated params are
-  updated collectively by the train step on every host (replacing the
-  reference's NetworkLoader checkpoint-file polling).
+- selfplay is embarrassingly parallel: each host plays its own batch on its
+  local chips with a host-folded RNG stream (`host_fold`) — the multi-host
+  analogue of the reference's one-GeneratorThread-per-GPU device farm
+  (GeneratorManager.cpp), with zero cross-host traffic.
+- each host ingests only the games it generated into its local
+  `ReplayBuffer` (host-sharded replay — no sample ever crosses hosts).
+- the learner is data-parallel over ONE global mesh: every host samples a
+  local sub-batch, `global_batch_from_local` assembles the global array
+  (each host holding its addressable shards), and `make_dp_train_step`
+  jits the train step with the batch sharded over `dp` — GSPMD inserts the
+  gradient all-reduce over ICI/DCN.  Replicated train state stays bitwise
+  identical on every host, which replaces the reference's
+  NetworkLoader checkpoint-file polling for parameter distribution.
+- checkpoint/metadata files are written by the coordinator only
+  (`is_coordinator`), with `barrier()` ordering writers before readers.
 
-`run_rl_round` packages one full actor->learner round; on a single host it
-degrades to plain data parallelism (and is exercised by
-__graft_entry__.dryrun_multichip on a virtual device mesh)."""
+`run_rl_round`/`make_rl_round` package the fully-fused alternative (one jit
+= selfplay -> targets -> train over the global mesh); it is exercised by
+__graft_entry__.dryrun_multichip on a virtual device mesh and by the
+2-process CPU test (tests/test_multiprocess.py)."""
 
 from __future__ import annotations
 
@@ -28,6 +34,8 @@ from typing import Any, Callable
 
 import jax
 import jax.numpy as jnp
+import numpy as np
+from jax.sharding import NamedSharding, PartitionSpec as P
 
 from ..game import vectorized as V
 from ..search import mcts
@@ -52,6 +60,55 @@ def initialize(
     jax.distributed.initialize(**kwargs)
 
 
+def is_coordinator() -> bool:
+    """True on the process that owns file writes (checkpoints, metadata)."""
+    return jax.process_index() == 0
+
+
+def host_fold(key: jax.Array) -> jax.Array:
+    """Per-host RNG stream: fold the process index into a shared base key.
+    Use for host-local randomness (selfplay game seeds, buffer sampling);
+    never for a key that is passed replicated into a global-mesh jit."""
+    return jax.random.fold_in(key, jax.process_index())
+
+
+def barrier(name: str = "barrier") -> None:
+    """Block until every process reaches this point (orders coordinator
+    file writes before other hosts read them).  No-op single-process."""
+    if jax.process_count() > 1:
+        from jax.experimental import multihost_utils
+
+        multihost_utils.sync_global_devices(name)
+
+
+def global_batch_from_local(mesh, local_batch: Any) -> Any:
+    """Assemble a dp-sharded global batch from each host's local sub-batch.
+
+    Every process passes its own `local_batch` pytree (leading axis =
+    per-host batch); the returned global arrays have leading axis
+    per-host * process_count, with each host holding only its addressable
+    shards.  Single-process this is a plain device_put with dp sharding."""
+    sh = batch_sharding(mesh)
+
+    def one(x):
+        x = np.asarray(x)
+        return jax.make_array_from_process_local_data(sh, x)
+
+    return jax.tree_util.tree_map(one, local_batch)
+
+
+def make_dp_train_step(train_step: Callable, mesh) -> Callable:
+    """Jit a train step for the global mesh: replicated state + key,
+    dp-sharded batch; GSPMD inserts the gradient all-reduce."""
+    rep = replicated(mesh)
+    bs = batch_sharding(mesh)
+    return jax.jit(
+        train_step,
+        in_shardings=(rep, bs, rep),
+        out_shardings=(rep, rep),
+    )
+
+
 def make_rl_round(
     net_apply: Callable,
     train_step: Callable,
@@ -68,12 +125,14 @@ def make_rl_round(
     sharded selfplay -> targets -> one DP train step.
 
     Returns (round_fn, mesh).  round_fn(variables_infer, train_state, key)
-    -> (train_state, loss_parts); inputs/outputs are sharded as annotated,
-    collectives ride the mesh."""
+    -> (train_state, loss_parts); inputs must be identical (replicated) on
+    every process, the selfplay batch is split over the global dp axis by
+    GSPMD, collectives ride the mesh."""
     if mesh is None:
         mesh = make_mesh(tp=tp)
-    n_dp = mesh.shape["dp"]
-    global_batch = batch_per_host * n_dp if jax.process_count() > 1 else batch_per_host
+    # total work scales with the number of hosts: each host contributes
+    # batch_per_host boards, split over its local share of the dp axis
+    global_batch = batch_per_host * jax.process_count()
 
     def rl_round(variables_infer: Any, train_state: Any, key: jax.Array):
         kp, kt = jax.random.split(key)

@@ -102,6 +102,10 @@ class ManagerConfig:
     distill_architecture: str = ""  # teacher arch (defaults to `architecture`)
     distill_blocks: int = 0
     distill_filters: int = 0
+    distributed: bool = False  # multi-host mode: selfplay per host with
+    # host-folded RNG + host-sharded replay, DP learner over the global mesh,
+    # coordinator-only checkpoint/metadata IO (requires
+    # parallel.distributed.initialize() first and a shared working_dir)
     seed: int = 0
 
 
@@ -123,6 +127,11 @@ class _SigintFlag:
 class TrainingManager:
     def __init__(self, cfg: ManagerConfig):
         self.cfg = cfg
+        # multi-host layout: host-sharded replay + per-host RNG + DP learner
+        # over the global mesh; the coordinator owns all file writes
+        self.n_hosts = jax.process_count() if cfg.distributed else 1
+        self.host = jax.process_index() if cfg.distributed else 0
+        self.is_coordinator = self.host == 0
         wd = cfg.working_dir
         for sub in ("checkpoint", "train_buffer", "valid_buffer", "saved_state"):
             os.makedirs(os.path.join(wd, sub), exist_ok=True)
@@ -130,7 +139,13 @@ class TrainingManager:
         self.metadata = self._load_metadata()
         self.tables = V.device_tables(cfg.rules)
         self.net = create_network(cfg.architecture, cfg.blocks, cfg.filters)
+        # `rng` is consumed identically on every host (shared stream for
+        # device keys); `host_rng` is the per-host stream for host-local
+        # randomness (selfplay seeds are host_fold-ed, sampling is local)
         self.rng = np.random.default_rng(cfg.seed)
+        self.host_rng = np.random.default_rng(
+            (cfg.seed + 1) * 1_000_003 + self.host
+        )
         self.buffer = ReplayBuffer(cfg.buffer_window)
         self.valid_buffer = ReplayBuffer(cfg.buffer_window)
 
@@ -139,10 +154,38 @@ class TrainingManager:
         self.state, self.tx = T.create_train_state(
             self.net, self.variables, self.train_cfg
         )
-        self._train_step = jax.jit(
-            T.make_train_step(self.net, self.tx, self.tables, self.train_cfg)
-        )
+        if cfg.distributed:
+            from ..parallel import distributed as D, make_mesh, replicated
+
+            self.mesh = make_mesh()  # one dp axis over every chip, all hosts
+            if cfg.train_batch_size % (self.mesh.shape["dp"]) != 0:
+                raise ValueError(
+                    f"train_batch_size={cfg.train_batch_size} not divisible "
+                    f"by global dp={self.mesh.shape['dp']}"
+                )
+            # replicated train state, identical on every host by construction
+            # (same seed init, deterministic DP updates with psum-ed grads)
+            self.state = jax.device_put(self.state, replicated(self.mesh))
+            self._train_step = D.make_dp_train_step(
+                T.make_train_step(self.net, self.tx, self.tables, self.train_cfg),
+                self.mesh,
+            )
+        else:
+            self._train_step = jax.jit(
+                T.make_train_step(self.net, self.tx, self.tables, self.train_cfg)
+            )
         self._play_sims = 0
+
+    def _host_vars(self) -> dict:
+        """Current network variables as host-local values, safe to feed into
+        per-host (non-collective) jits: selfplay, gating, evaluation.  In
+        distributed mode self.state lives replicated on the GLOBAL mesh —
+        launching a per-host computation from those arrays would require all
+        processes to participate, so pull a local copy first."""
+        v = {"params": self.state.params, "batch_stats": self.state.batch_stats}
+        if self.cfg.distributed:
+            v = jax.device_get(v)
+        return v
 
     # -- metadata / checkpoints -------------------------------------------
 
@@ -153,6 +196,8 @@ class TrainingManager:
         return {"last_checkpoint": -1, "best_checkpoint": -1, "learning_steps": 0}
 
     def _save_metadata(self) -> None:
+        if not self.is_coordinator:
+            return  # coordinator-only IO; in-memory metadata stays in sync
         tmp = self.metadata_path + ".tmp"
         with open(tmp, "w") as fh:
             json.dump(self.metadata, fh, indent=2)
@@ -174,20 +219,25 @@ class TrainingManager:
         return variables
 
     def save_checkpoint(self, n: int) -> None:
-        variables = {
-            "params": self.state.params,
-            "batch_stats": self.state.batch_stats,
-        }
-        data = serialization.to_bytes(variables)
-        path = self.checkpoint_path(n)
-        with open(path + ".tmp", "wb") as fh:
-            fh.write(data)
-        os.replace(path + ".tmp", path)
+        if self.is_coordinator:
+            variables = self._host_vars()
+            data = serialization.to_bytes(variables)
+            path = self.checkpoint_path(n)
+            with open(path + ".tmp", "wb") as fh:
+                fh.write(data)
+            os.replace(path + ".tmp", path)
         self.metadata["last_checkpoint"] = n
         if self.metadata["best_checkpoint"] < 0:
             self.metadata["best_checkpoint"] = n
         self._save_metadata()
-        self._save_swa(n)
+        if self.is_coordinator:
+            self._save_swa(n)
+        if self.cfg.distributed:
+            # order the coordinator's writes before any host reads the
+            # checkpoint back (evaluation/gating load from files)
+            from ..parallel import distributed as D
+
+            D.barrier(f"ckpt_{n}")
 
     def _save_swa(self, n: int) -> None:
         """Average the last k checkpoints (reference: network_swa.bin from 10
@@ -221,8 +271,9 @@ class TrainingManager:
         """One selfplay generation -> replay buffer + buffer file
         (reference: TrainingManager::generateGames + idempotent skip,
         TrainingManager.cpp:175-225)."""
+        hs = f"_h{self.host}" if self.cfg.distributed else ""
         buf_path = os.path.join(
-            self.cfg.working_dir, "train_buffer", f"buffer_{iteration}.npz"
+            self.cfg.working_dir, "train_buffer", f"buffer_{iteration}{hs}.npz"
         )
         if os.path.exists(buf_path):
             self.buffer.load_generation(iteration, buf_path)
@@ -253,10 +304,7 @@ class TrainingManager:
             tree_reuse=cfg.tree_reuse,
         )
         self._play_sims = sims
-        variables = {
-            "params": self.state.params,
-            "batch_stats": self.state.batch_stats,
-        }
+        variables = self._host_vars()
         total = 0
         rounds = max(1, cfg.games_per_iteration // cfg.selfplay_batch)
         state_dir = os.path.join(cfg.working_dir, "saved_state")
@@ -264,7 +312,7 @@ class TrainingManager:
         try:
             for r in range(rounds):
                 gen_id = iteration * 1000 + r
-                part_path = os.path.join(state_dir, f"part_{gen_id}.npz")
+                part_path = os.path.join(state_dir, f"part_{gen_id}{hs}.npz")
                 if os.path.exists(part_path):
                     # interrupted run left a finished round: resume from it
                     # (reference: GeneratorManager state save/load,
@@ -273,6 +321,10 @@ class TrainingManager:
                     total += len(self.buffer.generations[gen_id]["stm"])
                     continue
                 key = jax.random.PRNGKey(self.rng.integers(2**31))
+                if self.cfg.distributed:
+                    # per-host RNG folding: hosts play DIFFERENT games from a
+                    # shared base seed (parallel.distributed.host_fold)
+                    key = jax.random.fold_in(key, self.host)
                 init_env = None
                 if cfg.balanced_openings:
                     # NN+search-balanced openings (reference:
@@ -319,7 +371,7 @@ class TrainingManager:
                     cfg.cols,
                     chunk_moves=cfg.selfplay_chunk_moves,
                     should_stop=lambda: sig.hit,
-                    snapshot_path=os.path.join(state_dir, f"midgame_{gen_id}.npz"),
+                    snapshot_path=os.path.join(state_dir, f"midgame_{gen_id}{hs}.npz"),
                     init_env=init_env,
                     on_stats=_on_stats,
                 )
@@ -332,7 +384,7 @@ class TrainingManager:
                 import numpy as _np
 
                 tv = _np.asarray(targets["valid"])
-                split = self.rng.random(tv.shape) < cfg.validation_fraction
+                split = self.host_rng.random(tv.shape) < cfg.validation_fraction
                 total += self.buffer.add_generation(
                     gen_id, dict(targets, valid=tv & ~split)
                 )
@@ -349,15 +401,15 @@ class TrainingManager:
             self.valid_buffer.save_generation(
                 max(self.valid_buffer.generations),
                 os.path.join(
-                    cfg.working_dir, "valid_buffer", f"buffer_{iteration}.npz"
+                    cfg.working_dir, "valid_buffer", f"buffer_{iteration}{hs}.npz"
                 ),
             )
         for r in range(rounds):  # round snapshots fold into the buffer file
-            part = os.path.join(state_dir, f"part_{iteration * 1000 + r}.npz")
+            part = os.path.join(state_dir, f"part_{iteration * 1000 + r}{hs}.npz")
             if os.path.exists(part):
                 os.remove(part)
         with open(
-            os.path.join(self.cfg.working_dir, "buffer_stats.txt"), "a"
+            os.path.join(self.cfg.working_dir, f"buffer_stats{hs}.txt"), "a"
         ) as fh:
             fh.write(json.dumps({"iteration": iteration, **self.buffer.stats()}) + "\n")
         return total
@@ -391,19 +443,45 @@ class TrainingManager:
         TrainingManager.cpp:226-273)"""
         cfg = self.cfg
         history = []
+        if cfg.distributed and cfg.distill_from:
+            raise NotImplementedError("distillation in multi-host mode")
         distill = self._distill_setup() if cfg.distill_from else None
-        for batch_np in self.buffer.iter_batches(
-            cfg.train_batch_size, cfg.train_steps_per_iteration, self.rng,
-            sampler=cfg.sampler,
-        ):
-            batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
-            key = jax.random.PRNGKey(self.rng.integers(2**31))
-            if distill is not None:
-                step, teacher_vars = distill
-                self.state, parts = step(self.state, teacher_vars, batch, key)
-            else:
+        if cfg.distributed:
+            # DP learner over the global mesh: every host samples a local
+            # sub-batch from ITS replay shard, the global batch is assembled
+            # shard-wise and the jitted step all-reduces gradients; the
+            # replicated state stays identical on every host.  The device
+            # key must be identical across hosts (replicated input), so it
+            # derives from the shared seed + global step, never host_rng.
+            from ..parallel import distributed as D
+
+            per_host = cfg.train_batch_size // self.n_hosts
+            base_key = jax.random.PRNGKey((cfg.seed + 1) * 7_919)
+            for i, batch_np in enumerate(
+                self.buffer.iter_batches(
+                    per_host, cfg.train_steps_per_iteration, self.host_rng,
+                    sampler=cfg.sampler,
+                )
+            ):
+                batch = D.global_batch_from_local(self.mesh, batch_np)
+                key = jax.random.fold_in(
+                    base_key, self.metadata["learning_steps"] + i
+                )
                 self.state, parts = self._train_step(self.state, batch, key)
-            history.append({k: float(v) for k, v in parts.items()})
+                history.append({k: float(v) for k, v in parts.items()})
+        else:
+            for batch_np in self.buffer.iter_batches(
+                cfg.train_batch_size, cfg.train_steps_per_iteration, self.rng,
+                sampler=cfg.sampler,
+            ):
+                batch = {k: jnp.asarray(v) for k, v in batch_np.items()}
+                key = jax.random.PRNGKey(self.rng.integers(2**31))
+                if distill is not None:
+                    step, teacher_vars = distill
+                    self.state, parts = step(self.state, teacher_vars, batch, key)
+                else:
+                    self.state, parts = self._train_step(self.state, batch, key)
+                history.append({k: float(v) for k, v in parts.items()})
         self.metadata["learning_steps"] += len(history)
         mean = {
             k: float(np.mean([h[k] for h in history])) for k in history[0]
@@ -417,16 +495,20 @@ class TrainingManager:
                     T.make_eval_step(self.net, self.tables, self.train_cfg)
                 )
             vbatch = self.valid_buffer.sample(
-                min(1024, self.valid_buffer.num_samples), self.rng
+                min(1024, self.valid_buffer.num_samples), self.host_rng
             )
+            # validation is per-host (local valid shard, local devices): in
+            # distributed mode pull a host-local copy of the global state
+            vstate = jax.device_get(self.state) if cfg.distributed else self.state
             vparts = self._eval_step(
-                self.state, {k: jnp.asarray(v) for k, v in vbatch.items()}
+                vstate, {k: jnp.asarray(v) for k, v in vbatch.items()}
             )
             mean.update({f"valid_{k}": float(v) for k, v in vparts.items()})
-        with open(
-            os.path.join(cfg.working_dir, "training_history.txt"), "a"
-        ) as fh:
-            fh.write(json.dumps({"iteration": iteration, **mean}) + "\n")
+        if self.is_coordinator:
+            with open(
+                os.path.join(cfg.working_dir, "training_history.txt"), "a"
+            ) as fh:
+                fh.write(json.dumps({"iteration": iteration, **mean}) + "\n")
         self.save_checkpoint(iteration)
         return mean
 
@@ -439,10 +521,7 @@ class TrainingManager:
         from ..eval.match import Opponent, play_multi_match, random_openings
 
         cfg = self.cfg
-        template = {
-            "params": self.state.params,
-            "batch_stats": self.state.batch_stats,
-        }
+        template = self._host_vars()
         opponents = []
         seen = set()
         for off in cfg.eval_opponents:
@@ -505,16 +584,10 @@ class TrainingManager:
             self.metadata["best_checkpoint"] = iteration
             self._save_metadata()
             return {"promoted": True, "score": 1.0, "elo": 0.0}
-        template = {
-            "params": self.state.params,
-            "batch_stats": self.state.batch_stats,
-        }
+        template = self._host_vars()
         with open(self.checkpoint_path(best), "rb") as fh:
             best_vars = serialization.from_bytes(template, fh.read())
-        last_vars = {
-            "params": self.state.params,
-            "batch_stats": self.state.batch_stats,
-        }
+        last_vars = self._host_vars()
         cfg = self.cfg
         if cfg.balanced_openings:
             # gating replays NN-balanced openings, like reference gating
@@ -577,7 +650,11 @@ class TrainingManager:
             if sig.hit:
                 return {"stopped": True, "samples": samples}
             metrics = self.train_iteration(iteration)
-            if self.cfg.use_evaluation and not sig.hit:
+            # evaluation/gating are match runs on host-local copies of the
+            # nets; in multi-host mode only the coordinator plays them (the
+            # reference's single EvaluationManager), other hosts sync on the
+            # promotion decision afterwards
+            if self.cfg.use_evaluation and not sig.hit and self.is_coordinator:
                 if self.cfg.eval_in_parallel:
                     # join the previous evaluation first (reference: "Waiting
                     # for previous evaluation to finish...")
@@ -596,7 +673,15 @@ class TrainingManager:
                 else:
                     self.evaluate(iteration)
             if self.cfg.use_gating and not sig.hit:
-                metrics.update(self.gating(iteration))
+                if self.is_coordinator:
+                    metrics.update(self.gating(iteration))
+                if self.cfg.distributed:
+                    from ..parallel import distributed as D
+
+                    D.barrier(f"gating_{iteration}")
+                    if not self.is_coordinator:
+                        # adopt the coordinator's promotion decision
+                        self.metadata = self._load_metadata()
             return {"samples": samples, **metrics}
         finally:
             sig.restore()
