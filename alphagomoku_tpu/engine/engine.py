@@ -58,6 +58,7 @@ class Engine:
         leaf_solver_steps: int = 16,
         max_memory: int | None = None,
         max_depth: int | None = None,
+        draw_after: int = 0,
     ):
         self.rules = rules
         self.rows, self.cols = rows, cols
@@ -84,6 +85,7 @@ class Engine:
             max_nodes=capacity, max_edges=32,
             max_depth=min(40, max_depth) if max_depth else 40,
             leaf_solver=leaf_solver, leaf_solver_steps=leaf_solver_steps,
+            draw_after=draw_after,
         )
         self._last_state: mcts.SearchState | None = None
         self._last_moves: list[Move] = []

@@ -114,6 +114,12 @@ class GomocupProtocol(Protocol):
         if isinstance(msg.data, Move):
             sender.send(self.move_to_string(msg.data))
             self.list_of_moves.append(msg.data)
+        elif isinstance(msg.data, list):
+            # multiple moves, e.g. a swap2 two-stone balancing answer
+            # (reference: ExtendedGomocupProtocol::best_move
+            # holdsListOfMoves leg, ExtendedGomocupProtocol.cpp:88-99)
+            sender.send(" ".join(self.move_to_string(m) for m in msg.data))
+            self.list_of_moves.extend(msg.data)
 
     def _out_plain(self, sender: OutputSender) -> None:
         sender.send(str(self.output_queue.pop().data))

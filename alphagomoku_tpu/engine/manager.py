@@ -134,6 +134,7 @@ class ProgramManager:
                 leaf_solver_steps=self._leaf_solver_steps,
                 max_memory=max_memory if max_memory > 0 else None,
                 max_depth=max_depth if max_depth > 0 else None,
+                draw_after=int(float(self.options.get("draw_after", "0") or 0)),
             )
         return self.engine
 
@@ -141,6 +142,7 @@ class ProgramManager:
         old = self.options.get(name)
         self.options[name] = value
         realloc = ("rows", "columns", "rules", "max_memory", "max_depth",
+                   "draw_after",
                    "network_freestyle", "network_standard", "network_renju",
                    "network_caro5", "network_caro6")
         if name in realloc and old != value:
@@ -377,11 +379,32 @@ class ProgramManager:
             # balancing searches pick the closest-to-draw move
             # (reference: Swap2Controller + BalancedSelector,
             # src/player/controllers/Swap2Controller.cpp:22-156)
-            summary = engine.search(self._time_budget_s(), selector="balanced")
+            budget = self._time_budget_s()
             if mode.startswith("swap2") and len(engine.moves) == 3:
-                if summary.expectation < 0.5:
+                # 3-stone opening: swap / play one strong move / answer with
+                # TWO balancing stones (reference thresholds 1/3 and 2/3 on
+                # the root expectation, Swap2Controller.cpp:72-131)
+                summary = engine.search(0.5 * budget, selector="balanced")
+                if summary.expectation < 1.0 / 3.0:
                     self.output_queue.push(Message(MessageType.PLAIN_STRING, "SWAP"))
                     return
+                if summary.expectation > 2.0 / 3.0:
+                    self.output_queue.push(
+                        Message(MessageType.BEST_MOVE, summary.best_move)
+                    )
+                    return
+                # balanced middle: chain two balancing searches — play the
+                # first balancing move, search the reply position for the
+                # second (Swap2Controller.cpp:86-131 second_balancing_move)
+                first = summary.best_move
+                engine.make_move(first)
+                summary2 = engine.search(0.5 * budget, selector="balanced")
+                second = summary2.best_move
+                self.output_queue.push(
+                    Message(MessageType.BEST_MOVE, [first, second])
+                )
+                return
+            summary = engine.search(budget, selector="balanced")
             self.output_queue.push(Message(MessageType.BEST_MOVE, summary.best_move))
 
     # -- the pump ----------------------------------------------------------

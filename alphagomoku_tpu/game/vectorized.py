@@ -292,18 +292,54 @@ def is_forbidden(
 ) -> jax.Array:
     """Batched renju forbidden check for BLACK moves at query cells.
 
-    rows/cols: [B, *S] -> bool [B, *S].  The query cell may be empty or
-    occupied (windows mask the center).  Exact re-expression of reference
-    src/game/rules.cpp:134-173 with recursion depth bounded by `depth`.
+    rows/cols: [B, *S] -> bool [B, *S].  Thin wrapper over
+    :func:`is_forbidden_u` discarding the uncertainty flag; see there for
+    semantics."""
+    return is_forbidden_u(
+        tables, board, rows, cols, depth, overlay_rows, overlay_cols, max_forks
+    )[0]
+
+
+def is_forbidden_u(
+    tables: RuleTables,
+    board: jax.Array,
+    rows: jax.Array,
+    cols: jax.Array,
+    depth: int = 2,
+    overlay_rows: jax.Array | None = None,
+    overlay_cols: jax.Array | None = None,
+    max_forks: int | None = 8,
+) -> tuple[jax.Array, jax.Array]:
+    """Batched renju forbidden check with an exactness certificate.
+
+    rows/cols: [B, *S] -> (forbidden, uncertain), both bool [B, *S].  The
+    query cell may be empty or occupied (windows mask the center).
+    Re-expression of reference src/game/rules.cpp:134-173 with recursion
+    depth bounded by `depth` — but unlike the reference's unbounded
+    recursion, every place the bound could change the answer is TRACKED:
+
+    - `uncertain=False` certifies `forbidden` equals the exact
+      unbounded-recursion verdict (host rules.is_forbidden).
+    - `uncertain=True` cells return the UPPER bound (forbidden if any
+      resolution of the uncertain sub-checks could make it forbidden) —
+      the conservative direction the old naive fallback used.
+
+    Internally each level computes a three-valued verdict: a nested
+    fake-three check at depth 0 returns its naive answer flagged uncertain
+    when the cell is a naive 3x3 fork; a resolve level derives per-direction
+    "certainly real" / "possibly real" three statuses from the children's
+    (verdict, uncertain) pairs and flags the cell iff the low and high
+    threat bounds disagree.  Escalation passes (forbidden_plane_u /
+    outcome_after) re-resolve flagged cells at greater depth; a zero
+    residual certifies exact parity.
 
     `max_forks` caps how many naive-FORK_3x3 query cells per board get the
     full fake-three resolution when the query axis is wide (the recursion
     widens each query x16 per level; resolving every cell materializes
     multi-GB one-hot selects at the deepest level).  Fork cells are rare —
     compacting to the live ones keeps the math exact unless a single board
-    has more than `max_forks` simultaneous fork queries, in which case the
-    overflow cells fall back to the naive (conservative) answer.  The
-    differential oracle fuzz (tools/parity_fuzz.py) measures this bound.
+    has more than `max_forks` simultaneous fork queries; overflow cells
+    return the naive answer flagged uncertain.
     """
     from ..patterns import bitwise  # deferred: avoids import cycle at load
 
@@ -322,10 +358,11 @@ def is_forbidden(
     naive = (
         (threat == T.TT_OVERLINE) | (threat == T.TT_FORK_4x4) | (threat == T.TT_FORK_3x3)
     )
-    if depth <= 0:
-        return naive
-
     is_fork = threat == T.TT_FORK_3x3
+    if depth <= 0:
+        # naive non-forbidden is exact (resolution only ever demotes threes);
+        # a naive 3x3 fork could resolve to fake -> uncertain
+        return naive, is_fork
 
     bsz = board.shape[0]
     q_total = int(np.prod(qshape[1:])) if len(qshape) > 1 else 1
@@ -351,21 +388,28 @@ def is_forbidden(
                 sub_ovc = jnp.take_along_axis(ov_cf, idx[:, :, None], 1)
             else:
                 sub_ovr = sub_ovc = None
-            sub_forb = is_forbidden(
+            sub_forb, sub_unc = is_forbidden_u(
                 tables, board, sub_r, sub_c, depth, sub_ovr, sub_ovc,
                 max_forks=None,
             )  # [B, F]
             valid = vals > 0
             onehot = idx[:, :, None] == jnp.arange(q_total, dtype=jnp.int32)[None, None, :]
             resolved_true = ((sub_forb & valid)[:, :, None] & onehot).any(1)
+            unc_true = ((sub_unc & valid)[:, :, None] & onehot).any(1)
             covered = (valid[:, :, None] & onehot).any(1)
-            # unselected fork cells (overflow past max_forks) keep naive
-            return (naive_f & ~fork_f) | resolved_true | (fork_f & ~covered)
+            # unselected fork cells (overflow past max_forks) keep naive,
+            # flagged uncertain
+            forb = (naive_f & ~fork_f) | resolved_true | (fork_f & ~covered)
+            unc = unc_true | (fork_f & ~covered)
+            return forb, unc
 
-        out_f = jax.lax.cond(
-            jnp.any(fork_f), resolve_compacted, lambda _: naive_f, operand=None
+        out_f, unc_f = jax.lax.cond(
+            jnp.any(fork_f),
+            resolve_compacted,
+            lambda _: (naive_f, jnp.zeros_like(naive_f)),
+            operand=None,
         )
-        return out_f.reshape(qshape)
+        return out_f.reshape(qshape), unc_f.reshape(qshape)
 
     def resolve(_):
         # enumerate the (direction, offset) promotion spots, then COMPACT to
@@ -427,23 +471,44 @@ def is_forbidden(
         cand_wins = windows_at_sel(board, rr, cc, ov_r40, ov_c40)  # [B,*S,16,4]
         sf_all = _straight_four(cand_wins)  # [B,*S,16,4]
         sf = jnp.take_along_axis(sf_all, dirs[..., None], -1)[..., 0]
-        nested = is_forbidden(tables, board, rr, cc, depth - 1, ov_r40, ov_c40)
-        good = ok & empty & sf & ~nested  # [B,*S,16]
-
-        per_dir = jnp.stack(
-            [(good & (dirs == d)).any(-1) for d in range(4)], -1
-        )  # [B,*S,4]
-        real = per_dir & (pts == T.PT_OPEN_3)
-        pts2 = jnp.where((pts == T.PT_OPEN_3) & ~real, 0, pts)
-        threat2 = threat_type(tables, pts2, not_circle)
-        return (
-            (threat2 == T.TT_OVERLINE)
-            | (threat2 == T.TT_FORK_4x4)
-            | (threat2 == T.TT_FORK_3x3)
+        nested, nested_unc = is_forbidden_u(
+            tables, board, rr, cc, depth - 1, ov_r40, ov_c40
         )
+        # three-valued candidate status from the child's (verdict, unc) pair:
+        # nested verdict is the child's UPPER bound, so ~nested == "certainly
+        # not forbidden" and (~nested | nested_unc) == "possibly not forbidden"
+        promotes = ok & empty & sf  # [B,*S,16]
+        certain_good = promotes & ~nested
+        maybe_good = promotes & (~nested | nested_unc)
 
-    resolved = jax.lax.cond(jnp.any(is_fork), resolve, lambda _: naive, operand=None)
-    return jnp.where(is_fork, resolved, naive)
+        certain_real = jnp.stack(
+            [(certain_good & (dirs == d)).any(-1) for d in range(4)], -1
+        )  # [B,*S,4]
+        maybe_real = jnp.stack(
+            [(maybe_good & (dirs == d)).any(-1) for d in range(4)], -1
+        )
+        open3 = pts == T.PT_OPEN_3
+        # low bound demotes every not-certainly-real three; high bound keeps
+        # every possibly-real three.  Forbidden-ness is monotone in the number
+        # of surviving threes, so the true verdict lies between the bounds.
+        pts_low = jnp.where(open3 & ~certain_real, 0, pts)
+        pts_high = jnp.where(open3 & ~maybe_real, 0, pts)
+        t_low = threat_type(tables, pts_low, not_circle)
+        t_high = threat_type(tables, pts_high, not_circle)
+
+        def _forb(t):
+            return (t == T.TT_OVERLINE) | (t == T.TT_FORK_4x4) | (t == T.TT_FORK_3x3)
+
+        f_low, f_high = _forb(t_low), _forb(t_high)
+        return f_high, f_low != f_high
+
+    resolved, res_unc = jax.lax.cond(
+        jnp.any(is_fork),
+        resolve,
+        lambda _: (naive, jnp.zeros_like(naive)),
+        operand=None,
+    )
+    return jnp.where(is_fork, resolved, naive), is_fork & res_unc
 
 
 def outcome_after(
@@ -477,7 +542,31 @@ def outcome_after(
     if tables.rules == GameRules.RENJU:
 
         def with_forbidden(_):
-            forb = is_forbidden(tables, board, rows, cols, forbidden_depth)
+            forb, unc = is_forbidden_u(tables, board, rows, cols, forbidden_depth)
+            # escalate the (rare) boards whose bounded check was not certain:
+            # recheck up to 8 of them at depth 3 (cond-gated, ~never fires)
+            unc = unc & ~is_circle & ~five
+
+            def escalate(_):
+                K = min(8, bsz)
+                vals, bidx = jax.lax.top_k(unc.astype(jnp.int32), K)
+                gboards = _gather_boards(board, bidx)
+                onehot = (
+                    bidx[:, None] == jnp.arange(bsz, dtype=jnp.int32)[None, :]
+                ).astype(jnp.int32)
+                gr = (onehot * rows[None, :].astype(jnp.int32)).sum(1)
+                gc = (onehot * cols[None, :].astype(jnp.int32)).sum(1)
+                f2, _u2 = is_forbidden_u(
+                    tables, gboards, gr[:, None], gc[:, None],
+                    forbidden_depth + 1, max_forks=None,
+                )
+                f2 = f2[:, 0] & (vals > 0)
+                eye = bidx[:, None] == jnp.arange(bsz)[None, :]
+                res = (eye & f2[:, None]).any(0)
+                covered = (eye & (vals > 0)[:, None]).any(0)
+                return jnp.where(covered & unc, res, forb)
+
+            forb = jax.lax.cond(jnp.any(unc), escalate, lambda _: forb, operand=None)
             return jnp.where(
                 forb & ~is_circle & ~five, np.int8(int(GameOutcome.CIRCLE_WIN)), out
             )
@@ -554,9 +643,74 @@ def env_step(
     return EnvState(new_board, new_to_move, new_outcome, new_count)
 
 
+def _gather_boards(board: jax.Array, bidx: jax.Array) -> jax.Array:
+    """Gather owner boards [K, H, W] for flat batch indices [K] with a
+    one-hot dot (per-row gathers serialize on TPU; board values 0..2 are
+    exact in bf16)."""
+    bsz, h, w = board.shape
+    onehot = bidx[:, None] == jnp.arange(bsz, dtype=jnp.int32)[None, :]
+    return (
+        jnp.einsum(
+            "kb,bx->kx",
+            onehot.astype(jnp.bfloat16),
+            board.reshape(bsz, h * w).astype(jnp.bfloat16),
+        )
+        .astype(jnp.int8)
+        .reshape(-1, h, w)
+    )
+
+
+def _escalate_forbidden(
+    tables: RuleTables,
+    board: jax.Array,
+    forb_flat: jax.Array,
+    unc_flat: jax.Array,
+    depth: int,
+    cap: int,
+) -> tuple[jax.Array, jax.Array]:
+    """Re-resolve up to `cap` globally-compacted uncertain cells at a deeper
+    recursion.  forb_flat/unc_flat: [B*H*W] over the flattened cell grid.
+    Returns the corrected (forb_flat, residual_unc_flat)."""
+    bsz, h, w = board.shape
+    n = forb_flat.shape[0]
+
+    def run(_):
+        K = min(cap, n)
+        vals, idxs = jax.lax.top_k(unc_flat.astype(jnp.int32), K)  # [K]
+        bidx = idxs // (h * w)
+        cell = idxs % (h * w)
+        gboards = _gather_boards(board, bidx)
+        r, c = cell // w, cell % w
+        f, u = is_forbidden_u(
+            tables, gboards, r[:, None], c[:, None], depth, max_forks=None
+        )
+        f, u = f[:, 0] & (vals > 0), u[:, 0] & (vals > 0)
+        eye = idxs[:, None] == jnp.arange(n)[None, :]
+        res = (eye & f[:, None]).any(0)
+        res_unc = (eye & u[:, None]).any(0)
+        covered = (eye & (vals > 0)[:, None]).any(0)
+        out = jnp.where(covered, res, forb_flat)
+        return out, res_unc | (unc_flat & ~covered)
+
+    return jax.lax.cond(
+        jnp.any(unc_flat), run, lambda _: (forb_flat, unc_flat), operand=None
+    )
+
+
 def forbidden_plane(tables: RuleTables, board: jax.Array, depth: int = 2) -> jax.Array:
     """[B, H, W] bool: renju-forbidden empty cells for black, for NN feature
     planes and move generation.  Non-renju rules return all-false.
+    See forbidden_plane_u; this drops the certificate."""
+    return forbidden_plane_u(tables, board, depth)[0]
+
+
+def forbidden_plane_u(
+    tables: RuleTables, board: jax.Array, depth: int = 2,
+    escalate_depth: int = 3, escalate_cap: int = 32,
+) -> tuple[jax.Array, jax.Array]:
+    """[B, H, W] forbidden plane plus a [B, H, W] residual-uncertainty
+    certificate (all-False == provably exact vs the unbounded host recursion,
+    src/game/rules.cpp:134-173).
 
     Naive threats come from the gather-free all-cells path; only cells whose
     naive threat is FORK_3x3 need per-cell resolution.  Fork cells are rare
@@ -565,16 +719,23 @@ def forbidden_plane(tables: RuleTables, board: jax.Array, depth: int = 2) -> jax
     the deep check on at most 128 (query, owner-board) pairs total, instead
     of a fixed per-board block.  That keeps the x16-per-level recursion
     widening on a ~128-row batch rather than B*12 rows (a ~100x cut at
-    batch 1024).  Overflow cells past the global cap keep the naive
-    (conservative: forbidden) answer; tools/parity_fuzz.py measures the
-    bound.
+    batch 1024).
+
+    Cells the bounded pass could not decide exactly — global-cap overflow or
+    depth-exhausted nested fork chains, tracked by is_forbidden_u — are then
+    re-resolved by a cond-gated escalation pass at `escalate_depth` on at
+    most `escalate_cap` globally-compacted cells.  Anything still uncertain
+    after escalation keeps the conservative (forbidden) upper bound and is
+    reported in the returned certificate; tools/parity_fuzz.py asserts the
+    residual is zero on selfplay-derived positions.
     """
     from ..patterns import bitwise  # deferred: avoids import cycle at load
 
     board = jnp.asarray(board)
     bsz, h, w = board.shape
     if tables.rules != GameRules.RENJU:
-        return jnp.zeros((bsz, h, w), bool)
+        z = jnp.zeros((bsz, h, w), bool)
+        return z, z
     wins = windows_all(board)  # [B, 4, H, W]
     # gather-free classification for the bulk all-cells path
     pts, _ = bitwise.classify(jnp.moveaxis(wins, 1, -1), GameRules(tables.rules))
@@ -590,29 +751,28 @@ def forbidden_plane(tables: RuleTables, board: jax.Array, depth: int = 2) -> jax
         bidx = idxs // (h * w)
         cell = idxs % (h * w)
         r, c = cell // w, cell % w
-        # gather each query's owner board with a one-hot dot (per-row gathers
-        # serialize on TPU; board values 0..2 are exact in bf16)
-        onehot = (bidx[:, None] == jnp.arange(bsz, dtype=jnp.int32)[None, :])
-        gboards = (
-            jnp.einsum(
-                "kb,bx->kx",
-                onehot.astype(jnp.bfloat16),
-                board.reshape(bsz, h * w).astype(jnp.bfloat16),
-            )
-            .astype(jnp.int8)
-            .reshape(K, h, w)
-        )
-        f = is_forbidden(
+        gboards = _gather_boards(board, bidx)
+        f, u = is_forbidden_u(
             tables, gboards, r[:, None], c[:, None], depth, max_forks=None
-        )[:, 0]
-        f = f & (vals > 0)
+        )
+        f = f[:, 0] & (vals > 0)
+        u = u[:, 0] & (vals > 0)
         # scatter the verdicts back with a compare-any (no per-row scatter)
-        res = ((idxs[:, None] == jnp.arange(bsz * h * w)) & f[:, None]).any(0)
-        covered = ((idxs[:, None] == jnp.arange(bsz * h * w)) & (vals > 0)[:, None]).any(0)
-        # overflow past the global cap keeps the naive (forbidden) answer
-        return (res | (flat & ~covered)).reshape(bsz, h, w)
+        eye = idxs[:, None] == jnp.arange(bsz * h * w)[None, :]
+        res = (eye & f[:, None]).any(0)
+        res_unc = (eye & u[:, None]).any(0)
+        covered = (eye & (vals > 0)[:, None]).any(0)
+        # overflow past the global cap keeps the naive (forbidden) upper
+        # bound, flagged uncertain for the escalation pass
+        forb_flat = res | (flat & ~covered)
+        unc_flat = res_unc | (flat & ~covered)
+        return _escalate_forbidden(
+            tables, board, forb_flat, unc_flat, escalate_depth, escalate_cap
+        )
 
-    resolved_forks = jax.lax.cond(
-        jnp.any(fork), resolve, lambda _: jnp.zeros((bsz, h, w), bool), operand=None
+    zflat = jnp.zeros(bsz * h * w, bool)
+    resolved_forks, residual = jax.lax.cond(
+        jnp.any(fork), resolve, lambda _: (zflat, zflat), operand=None
     )
-    return hard | resolved_forks
+    plane = hard | resolved_forks.reshape(bsz, h, w)
+    return plane, residual.reshape(bsz, h, w)

@@ -96,6 +96,12 @@ class MCTSConfig(NamedTuple):
     loss_cap: int = 64  # leaves per batch sent to the loss prover (top-k
     # compacted by opponent-threat evidence, like leaf_solver_cap)
     loss_options: int = 8  # max defensive options refuted per leaf
+    draw_after: int = 0  # stones after which the game is adjudicated a draw
+    # (reference: GameConfig::draw_after).  0 = board area.  Enables DRAW
+    # proving: terminal checks use the horizon, the static solver gains the
+    # draw_in_1 stage + the reference's distance gating, and solver mates
+    # longer than the remaining distance are discarded
+    # (MoveGenerator.cpp:162-186, Score.hpp:285-317).
 
 
 class Tree(NamedTuple):
@@ -826,7 +832,11 @@ def make_simulate_fn(
 
         mover = jnp.where(stm_f == CROSS, CIRCLE, CROSS).astype(jnp.int8)
         stones = (boards_f != V.NONE).sum((1, 2)).astype(jnp.int32)
-        outcome = V.outcome_after(tables, boards_f, lr_f, lc_f, mover, stones, h * w)
+        draw_after = cfg.draw_after if cfg.draw_after > 0 else h * w
+        dtd_f = draw_after - stones  # [S*B] distance to the draw horizon
+        outcome = V.outcome_after(
+            tables, boards_f, lr_f, lc_f, mover, stones, draw_after
+        )
         outcome = jnp.where(need_f, outcome, jnp.int8(int(GameOutcome.UNKNOWN)))
         terminal_f = outcome != jnp.int8(int(GameOutcome.UNKNOWN))
         term_score_f = S.from_outcome(outcome, stm_f)  # leaf's own view
@@ -857,7 +867,7 @@ def make_simulate_fn(
         value_f = jnp.where(
             terminal_f[:, None], S.convert_to_value(term_score_f), value_f
         )
-        analysis_f = static_solver.analyze(packed_f, legal_f)
+        analysis_f = static_solver.analyze(packed_f, legal_f, dtd_f)
 
         # --------------------------------------------------------------
         # SOLVE: budgeted proof search on the leaf batch (reference: the
@@ -979,7 +989,8 @@ def make_simulate_fn(
                 sres = sres._replace(
                     win=win_full, best_move=best_full, distance=dist_full
                 )
-            swin = sres.win & need_f & ~terminal_f
+            # a mate longer than the draw horizon is a draw, not a win
+            swin = sres.win & need_f & ~terminal_f & (sres.distance <= dtd_f)
             solver_win_f = swin
             win_sc = S.win_in(jnp.clip(sres.distance, 1, 512))  # [S*B] u16
             onehot_best = (
@@ -1010,10 +1021,14 @@ def make_simulate_fn(
             # direct win proof (if both fired) takes precedence
             row_valid = (oh_l & cand_l[None, :]).any(-1)  # [lcap]
             lost_rows = lres.loss & row_valid
-            lost_full = (oh_l & lost_rows[:, None]).any(0) & ~solver_win_f
             dist_full = (
                 oh_l * jnp.where(lost_rows, lres.distance, 0)[:, None]
             ).sum(0)
+            lost_full = (
+                (oh_l & lost_rows[:, None]).any(0)
+                & ~solver_win_f
+                & (dist_full <= dtd_f)  # mates past the horizon are draws
+            )
             loss_sc = S.loss_in(jnp.clip(dist_full, 1, 512))
             solver_loss_f = lost_full
             analysis_f = analysis_f._replace(
@@ -1543,7 +1558,9 @@ def init_root(
     policy, value, q_expect, moves_left, legal, packed = _evaluate(
         net_apply, variables, tables, board, stm, raw_input
     )
-    analysis = static_solver.analyze(packed, legal)
+    draw_after = cfg.draw_after if cfg.draw_after > 0 else h * w
+    dtd_root = draw_after - (board != V.NONE).sum((1, 2)).astype(jnp.int32)
+    analysis = static_solver.analyze(packed, legal, dtd_root)
     if cfg.leaf_solver != "none":
         # solve the root position too — roots never appear as leaves, and a
         # root-proven win makes the proven edge dominate selection at once
@@ -1565,6 +1582,7 @@ def init_root(
                 max_steps=4 * cfg.leaf_solver_steps,
                 max_threes=cfg.leaf_solver_threes,
             )
+        sres = sres._replace(win=sres.win & (sres.distance <= dtd_root))
         win_sc = S.win_in(jnp.clip(sres.distance, 1, 512))
         onehot_best = (
             sres.best_move[:, None] == jnp.arange(h * w, dtype=jnp.int32)[None, :]
@@ -1616,10 +1634,10 @@ def init_root(
                 max_threes=cfg.leaf_solver_threes,
             )
             lost_rows = lres.loss & (oh_l & cand_l[None, :]).any(-1)
-            lost_full = (oh_l & lost_rows[:, None]).any(0)
             dist_full = (
                 oh_l * jnp.where(lost_rows, lres.distance, 0)[:, None]
             ).sum(0)
+            lost_full = (oh_l & lost_rows[:, None]).any(0) & (dist_full <= dtd_root)
             analysis = analysis._replace(
                 node_score=jnp.where(
                     lost_full,

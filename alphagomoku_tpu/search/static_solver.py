@@ -17,6 +17,14 @@ Stages implemented (all SOUND, no heuristic pruning):
   3. win_in_3:   cells making an open four / double four / 4x4 fork with no
      opponent five threat on the board -> Score win_in(3) (the opponent has
      no four, so no defense stops two five threats).
+  4. draw_in_1:  with `dist_to_draw` given, positions one move from the
+     draw_after horizon score every legal non-winning cell draw_in(1); a
+     renju black with NO legal cell (everything forbidden) is loss_in(1)
+     (reference: MoveGenerator::try_draw_in_1, MoveGenerator.cpp:305-353).
+     The deeper stages are gated by the same distance arithmetic the
+     reference uses (win_in_1 at >=1, defend_loss_in_2 at >=2, win_in_3 at
+     >=3 — MoveGenerator.cpp:162-186): a mate cannot be proven past the
+     draw horizon.
 
 Deeper variation-dependent lines (VCF / win_in_5 / defensive tables) belong
 to the recursive solver (see SURVEY.md section 2.4); everything here is a
@@ -58,12 +66,17 @@ def _popcount4(x: jax.Array) -> jax.Array:
     return (x & 1) + ((x >> 1) & 1) + ((x >> 2) & 1) + ((x >> 3) & 1)
 
 
-def analyze(packed: jax.Array, legal: jax.Array) -> StaticAnalysis:
+def analyze(
+    packed: jax.Array, legal: jax.Array, dist_to_draw: jax.Array | None = None
+) -> StaticAnalysis:
     """Run the static stages on a packed feature map [B, H, W] uint32.
 
     `legal` excludes occupied + renju-forbidden cells.  Scores and the
     restriction mask are from the side-to-move's perspective (the packed
-    map's 'own' player)."""
+    map's 'own' player).  `dist_to_draw` [B] int32 = draw_after - stones
+    enables draw proving + the reference's distance gating; None means an
+    unreachable horizon (freestyle default draw_after = board area callers
+    pass the real value)."""
     own = (packed >> U(_OWN)) & U(0xFFF)
     opp = (packed >> U(_OPP)) & U(0xFFF)
 
@@ -83,15 +96,28 @@ def analyze(packed: jax.Array, legal: jax.Array) -> StaticAnalysis:
     any_opp5 = n_opp5 > 0
     lost2 = (~any_own5) & (n_opp5 >= 2)
 
+    if dist_to_draw is None:
+        dtd3 = dtd2 = jnp.ones(packed.shape[0], bool)
+        draw1 = jnp.zeros(packed.shape[0], bool)
+    else:
+        dtd3 = dist_to_draw >= 3
+        dtd2 = dist_to_draw >= 2
+        draw1 = dist_to_draw == 1
+
     # --- per-cell scores, later stages never overwrite earlier ones ---
     scores = jnp.broadcast_to(S.zero(), packed.shape)
-    # stage 3: win in 3 (valid only when the opponent holds no five threat)
-    win3_ok = own_win3 & (~any_opp5)[:, None, None]
+    # stage 3: win in 3 (valid only when the opponent holds no five threat
+    # and the mate fits inside the draw horizon)
+    win3_ok = own_win3 & (~any_opp5 & dtd3)[:, None, None]
     scores = jnp.where(win3_ok, S.win_in(3), scores)
     # stage 2: everything that does not block (or win) loses in 2
     blockers = own5 | opp5  # playing the opponent's completion cell blocks it
-    loses2 = (any_opp5[:, None, None] & ~blockers) | lost2[:, None, None]
+    loses2 = ((any_opp5 & dtd2)[:, None, None] & ~blockers) \
+        | (lost2 & dtd2)[:, None, None]
     scores = jnp.where(legal & loses2, S.loss_in(2), scores)
+    # stage draw_in_1: one move from the horizon every legal non-winning
+    # cell draws (reference: try_draw_in_1)
+    scores = jnp.where(draw1[:, None, None] & legal & ~own5, S.draw_in(1), scores)
     # stage 1: win in 1 dominates
     scores = jnp.where(own5, S.win_in(1), scores)
     scores = jnp.where(legal, scores, S.zero()).astype(jnp.uint16)
@@ -99,7 +125,7 @@ def analyze(packed: jax.Array, legal: jax.Array) -> StaticAnalysis:
     # --- playable restriction: with an opponent five on the board only
     # wins/blocks are worth generating (reference: must_defend edges) ---
     restrict = jnp.where(
-        (any_opp5 & ~any_own5)[:, None, None], blockers & legal, legal
+        (any_opp5 & ~any_own5 & dtd2)[:, None, None], blockers & legal, legal
     )
     # degenerate safety: never restrict to an empty set
     restrict = jnp.where(
@@ -109,6 +135,16 @@ def analyze(packed: jax.Array, legal: jax.Array) -> StaticAnalysis:
     node_score = jnp.where(
         any_own5,
         S.win_in(1),
-        jnp.where(lost2, S.loss_in(2), S.zero()),
-    ).astype(jnp.uint16)
-    return StaticAnalysis(scores, restrict, node_score)
+        jnp.where(lost2 & dtd2, S.loss_in(2), S.zero()),
+    )
+    if dist_to_draw is not None:
+        any_legal = jnp.any(legal, (1, 2))
+        # no win and one move to the horizon: a legal move draws; a renju
+        # black with every empty cell forbidden has only losing moves
+        node_score = jnp.where(
+            draw1 & ~any_own5,
+            jnp.where(any_legal, S.draw_in(1), S.loss_in(1)),
+            node_score,
+        )
+    return StaticAnalysis(scores.astype(jnp.uint16), restrict,
+                          node_score.astype(jnp.uint16))

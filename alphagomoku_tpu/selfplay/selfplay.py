@@ -38,6 +38,8 @@ class SelfplayConfig(NamedTuple):
     tree_reuse: bool = False  # carry the played child's subtree between
     # moves (reference: Tree::setBoard + NodeCache::cleanup carry-over,
     # Tree.cpp:128-151); needs mcfg.max_nodes headroom beyond one search
+    draw_after: int = 0  # adjudicate a draw after this many stones
+    # (reference: GameConfig::draw_after); 0 = board area
 
 
 class GameRecord(NamedTuple):
@@ -178,7 +180,10 @@ def make_move_step(
             alive=alive,
             phase_counters=counters,
         )
-        newenv = V.env_step(tables, envc, move // cols, move % cols)
+        newenv = V.env_step(
+            tables, envc, move // cols, move % cols,
+            draw_after=scfg.draw_after,
+        )
         return PlayCarry(newenv, state, move.astype(jnp.int32)), sample
 
     return move_step
@@ -203,7 +208,8 @@ def play_games(
     `init_env` seeds games from prepared openings."""
 
     mcfg = mcfg._replace(
-        noise_weight=scfg.noise_weight, noise_alpha=scfg.noise_alpha
+        noise_weight=scfg.noise_weight, noise_alpha=scfg.noise_alpha,
+        draw_after=scfg.draw_after,
     )
     carry = init_carry(
         net_apply, variables, tables, mcfg, batch, rows, cols, init_env
@@ -254,7 +260,8 @@ def play_games_resumable(
     import numpy as np
 
     mcfg = mcfg._replace(
-        noise_weight=scfg.noise_weight, noise_alpha=scfg.noise_alpha
+        noise_weight=scfg.noise_weight, noise_alpha=scfg.noise_alpha,
+        draw_after=scfg.draw_after,
     )
     move_step = make_move_step(net_apply, variables, tables, mcfg, scfg, cols)
 

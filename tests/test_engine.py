@@ -109,3 +109,72 @@ def test_tree_reuse_between_moves():
     s2 = eng.search()
     assert eng.reuse_count == 1
     assert s2.nodes > 64  # carried statistics, not a fresh tree
+
+
+def test_swap2_two_stone_balancing(manager, monkeypatch):
+    """A balanced 3-stone swap2 opening (expectation in (1/3, 2/3)) is
+    answered with TWO balancing stones of the correct signs (reference:
+    Swap2Controller.cpp:86-131 second_balancing_move)."""
+    from alphagomoku_tpu.engine import engine as E
+    from alphagomoku_tpu.game.types import Move, CROSS, CIRCLE
+
+    drive(manager, "START 15")
+    eng = manager._setup_engine()
+
+    def fake_search(self, time_budget=None, selector="best", on_chunk=None,
+                    max_sims=None):
+        stm = self.sign_to_move()
+        # deterministic distinct cells away from the opening stones
+        taken = {(m.row, m.col) for m in self.moves}
+        for r in range(self.rows):
+            for c in range(self.cols):
+                if (r, c) not in taken:
+                    return E.SearchSummary(
+                        best_move=Move(row=r, col=c, sign=stm),
+                        expectation=0.5, win_rate=0.4, draw_rate=0.2,
+                        simulations=1, nodes=1, time_used=0.0,
+                        principal_variation=[], proven="",
+                    )
+        raise AssertionError("no empty cell")
+
+    monkeypatch.setattr(E.Engine, "search", fake_search)
+    out = drive(manager, "SWAP2BOARD", "7,7", "8,8", "9,7", "DONE")
+    answers = [l for l in out if "," in l and not l.startswith(("MESSAGE", "ERROR"))]
+    assert len(answers) == 1
+    parts = answers[0].split()
+    assert len(parts) == 2, answers  # two balancing stones
+    # protocol appended both stones: 3 openings + 2 balancing
+    assert len(manager.protocol.list_of_moves) == 5
+    assert manager.protocol.list_of_moves[-2].sign == CIRCLE  # white 2nd stone
+    assert manager.protocol.list_of_moves[-1].sign == CROSS   # black 3rd stone
+
+
+def test_swap2_extremes_swap_or_move(manager, monkeypatch):
+    """Expectation below 1/3 answers SWAP; above 2/3 answers one move."""
+    from alphagomoku_tpu.engine import engine as E
+    from alphagomoku_tpu.game.types import Move
+
+    for expectation, expect_swap in ((0.2, True), (0.8, False)):
+        drive(manager, "START 15")
+
+        def fake_search(self, time_budget=None, selector="best", on_chunk=None,
+                        max_sims=None, _e=expectation):
+            stm = self.sign_to_move()
+            taken = {(m.row, m.col) for m in self.moves}
+            cell = next((r, c) for r in range(self.rows)
+                        for c in range(self.cols) if (r, c) not in taken)
+            return E.SearchSummary(
+                best_move=Move(row=cell[0], col=cell[1], sign=stm),
+                expectation=_e, win_rate=_e, draw_rate=0.0,
+                simulations=1, nodes=1, time_used=0.0,
+                principal_variation=[], proven="",
+            )
+
+        monkeypatch.setattr(E.Engine, "search", fake_search)
+        out = drive(manager, "SWAP2BOARD", "7,7", "8,8", "9,7", "DONE")
+        if expect_swap:
+            assert "SWAP" in out
+        else:
+            moves = [l for l in out
+                     if "," in l and not l.startswith(("MESSAGE", "ERROR"))]
+            assert len(moves) == 1 and len(moves[0].split()) == 1

@@ -7,14 +7,20 @@ Checks per position:
   threats   — per-cell ThreatType, both signs (host numpy path)
   outcome   — getOutcome after a probe move (host exact + jit outcome_after)
   forbidden — renju isForbidden per empty cell (host exact + jit
-              forbidden_plane with its depth-2/16-cand/global-128-fork bounds)
+              forbidden_plane_u, whose bounded recursion now carries an
+              exactness certificate + escalation pass,
+              game/vectorized.py:is_forbidden_u)
 
-Host paths must diverge ZERO times; jit divergence is measured and reported
-(the bounded-recursion approximations, game/vectorized.py:279,329,510).
+BOTH host and jit paths must diverge ZERO times (the jit renju path's
+certificate/escalation made it exact in round 4); the residual-uncertainty
+certificate count is also reported and must stay zero.
+
+Board sources: synthetic mix (sparse/dense/clustered/prefix/trajectory) or
+--positions-npz with real selfplay positions (int8 boards [N, H, W]).
 
 Usage: python tools/parity_fuzz.py [--boards 200] [--rules all] [--cpu]
-       [--seed 0] [--report out.json]
-Exit code 1 on any host divergence.
+       [--seed 0] [--report out.json] [--positions-npz file.npz]
+Exit code 1 on any host OR jit divergence.
 """
 
 from __future__ import annotations
@@ -76,14 +82,15 @@ class Oracle:
         self.proc.terminate()
 
 
-def gen_boards(rng, n, h, w):
-    """Mix of sparse, dense, clustered (fork-heavy), and game-prefix boards."""
+def gen_boards(rng, n, h, w, rules=None):
+    """Mix of sparse, dense, clustered (fork-heavy), game-prefix, and
+    game-trajectory boards."""
     import numpy as np
 
     out = []
     for i in range(n):
         b = np.zeros((h, w), np.int8)
-        kind = i % 4
+        kind = i % 5
         if kind == 0:  # sparse random
             stones = int(rng.integers(2, 12))
             cells = rng.choice(h * w, stones, replace=False)
@@ -103,12 +110,53 @@ def gen_boards(rng, n, h, w):
                     # bias 2:1 toward black: renju fork shapes are black's
                     b[r, c] = 1 if rng.random() < 0.67 else 2
                     placed += 1
-        else:  # alternating game prefix (legal-ish, balanced)
+        elif kind == 3:  # alternating game prefix (legal-ish, balanced)
             stones = int(rng.integers(8, 40))
             cells = rng.choice(h * w, stones, replace=False)
             b.flat[cells] = np.where(np.arange(stones) % 2 == 0, 1, 2)
+        else:  # game trajectory: alternating adjacency-biased legal play,
+            # stopped before any five — the texture selfplay produces
+            b = gen_traj_board(rng, h, w, rules)
         out.append(b)
     return out
+
+
+def gen_traj_board(rng, h, w, rules=None):
+    """One position sampled from an adjacency-biased legal game."""
+    import numpy as np
+
+    from alphagomoku_tpu.game.types import GameRules, Move, GameOutcome
+    from alphagomoku_tpu.game import rules as R
+
+    rules = rules or GameRules.FREESTYLE
+    b = np.zeros((h, w), np.int8)
+    b[h // 2 + int(rng.integers(-2, 3)), w // 2 + int(rng.integers(-2, 3))] = 1
+    target = int(rng.integers(6, 56))
+    sign = 2
+    for _ in range(target):
+        occ = np.argwhere(b != 0)
+        if rng.random() < 0.9 and len(occ):
+            # play near an existing stone (selfplay locality)
+            for _try in range(20):
+                r0, c0 = occ[rng.integers(len(occ))]
+                r = int(np.clip(r0 + rng.integers(-2, 3), 0, h - 1))
+                c = int(np.clip(c0 + rng.integers(-2, 3), 0, w - 1))
+                if b[r, c] == 0:
+                    break
+            else:
+                break
+        else:
+            empties = np.argwhere(b == 0)
+            if not len(empties):
+                break
+            r, c = empties[rng.integers(len(empties))]
+        b[r, c] = sign
+        out = R.get_outcome(rules, b, Move(row=int(r), col=int(c), sign=int(sign)))
+        if out != GameOutcome.UNKNOWN:
+            b[r, c] = 0  # keep the position live
+            break
+        sign = 3 - sign
+    return b
 
 
 def main() -> int:
@@ -121,6 +169,9 @@ def main() -> int:
     p.add_argument("--report", default=None)
     p.add_argument("--skip-jit", action="store_true",
                    help="host-vs-oracle only (no jax)")
+    p.add_argument("--positions-npz", default=None,
+                   help="npz with 'boards' int8 [N,H,W] (e.g. dumped from "
+                        "selfplay) — replaces synthetic board generation")
     args = p.parse_args()
 
     if args.cpu:
@@ -147,6 +198,7 @@ def main() -> int:
         "threat_cells": 0, "threat_div": 0,
         "outcome_checks": 0, "outcome_div_host": 0, "outcome_div_jit": 0,
         "forbidden_cells": 0, "forbidden_div_host": 0, "forbidden_div_jit": 0,
+        "forbidden_uncertain_jit": 0,
     }
     failures = []
 
@@ -158,7 +210,7 @@ def main() -> int:
 
         jit_tables = {r: V.device_tables(r) for r in rule_list}
         fplane = {
-            r: jax.jit(lambda b, _t=jit_tables[r]: V.forbidden_plane(_t, b))
+            r: jax.jit(lambda b, _t=jit_tables[r]: V.forbidden_plane_u(_t, b))
             for r in rule_list
         }
 
@@ -172,9 +224,17 @@ def main() -> int:
                 jnp.full(1, sign, jnp.int8), jnp.full(1, mc, jnp.int32), h * w)
             return int(np.asarray(out)[0])
 
+    npz_boards = None
+    if args.positions_npz:
+        npz_boards = np.load(args.positions_npz)["boards"].astype(np.int8)
+        h, w = npz_boards.shape[1:3]
+
     for rules in rule_list:
         oracle.set_rules(rules.name)
-        boards = gen_boards(rng, args.boards, h, w)
+        if npz_boards is not None:
+            boards = list(npz_boards)
+        else:
+            boards = gen_boards(rng, args.boards, h, w, rules)
         for b in boards:
             stats["boards"] += 1
             oracle.set_board(b)
@@ -247,16 +307,22 @@ def main() -> int:
                     stats["forbidden_div_host"] += int(dh.sum())
                     failures.append(("forbidden_host", b.tolist()))
                 if not args.skip_jit:
-                    jf = np.asarray(fplane[rules](jnp.asarray(b[None])))[0]
+                    jf_, junc_ = fplane[rules](jnp.asarray(b[None]))
+                    jf = np.asarray(jf_)[0]
                     dj = (ref_forb != jf) & empty
+                    if dj.any():
+                        failures.append(("forbidden_jit", b.tolist()))
                     stats["forbidden_div_jit"] += int(dj.sum())
+                    stats["forbidden_uncertain_jit"] += int(np.asarray(junc_).sum())
 
     oracle.close()
     host_div = (
         stats["pattern_div"] + stats["threat_div"]
         + stats["outcome_div_host"] + stats["forbidden_div_host"]
     )
+    jit_div = stats["outcome_div_jit"] + stats["forbidden_div_jit"]
     stats["host_divergence_total"] = host_div
+    stats["jit_divergence_total"] = jit_div
     print(json.dumps(stats, indent=1))
     if args.report:
         with open(args.report, "w") as fh:
@@ -264,7 +330,7 @@ def main() -> int:
     if failures:
         for f in failures[:5]:
             print("FAIL:", f[0], f[1], file=sys.stderr)
-    return 1 if host_div else 0
+    return 1 if (host_div or jit_div) else 0
 
 
 if __name__ == "__main__":
