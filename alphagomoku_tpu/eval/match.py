@@ -102,7 +102,7 @@ def _score_pairs(
     return penta, total / (4.0 * g)
 
 
-def _adjudicate(
+def _expectation_cross(
     net_apply: Callable,
     variables: Any,
     tables: V.RuleTables,
@@ -110,21 +110,27 @@ def _adjudicate(
     stm: jax.Array,
     raw_input: bool,
 ) -> np.ndarray:
-    """Value-adjudicate unfinished positions: NN expectation from the
-    side-to-move converted to a cross-perspective verdict.  Replaces the
-    old free-draw scoring of truncated games (the reference never
-    truncates — EvaluationGame plays to outcome — so adjudication only
-    triggers when a caller explicitly caps max_moves)."""
+    """One net's cross-perspective expectation of each position [N]."""
     _, value, _, _, _, _ = jax.jit(
         lambda v, b, s: mcts._evaluate(net_apply, v, tables, b, s, raw_input)
     )(variables, boards, stm)
     value = np.asarray(value, np.float32)
     exp_stm = value[:, 0] + 0.5 * value[:, 1]
     stm_np = np.asarray(stm)
-    exp_cross = np.where(stm_np == CROSS, exp_stm, 1.0 - exp_stm)
-    out = np.full(exp_cross.shape, int(GameOutcome.DRAW), np.int8)
-    out[exp_cross > 0.6] = int(GameOutcome.CROSS_WIN)
-    out[exp_cross < 0.4] = int(GameOutcome.CIRCLE_WIN)
+    return np.where(stm_np == CROSS, exp_stm, 1.0 - exp_stm)
+
+
+def _adjudicate_pair(exp_a: np.ndarray, exp_b: np.ndarray) -> np.ndarray:
+    """Value-adjudicate unfinished positions with BOTH engines' nets: a win
+    is awarded only when the two evaluations AGREE on the same side at the
+    fixed thresholds; any disagreement scores a draw.  A single-net verdict
+    would let a value-miscalibrated candidate convert its own truncated
+    games into wins (the reference never truncates — EvaluationGame plays
+    to outcome — so adjudication only triggers when a caller explicitly
+    caps max_moves)."""
+    out = np.full(exp_a.shape, int(GameOutcome.DRAW), np.int8)
+    out[(exp_a > 0.6) & (exp_b > 0.6)] = int(GameOutcome.CROSS_WIN)
+    out[(exp_a < 0.4) & (exp_b < 0.4)] = int(GameOutcome.CIRCLE_WIN)
     return out
 
 
@@ -224,13 +230,23 @@ def play_multi_match(
         import logging
 
         logging.getLogger("alphagomoku_tpu.match").warning(
-            "%d/%d games truncated at max_moves=%d (value-adjudicated)",
+            "%d/%d games truncated at max_moves=%d (value-adjudicated "
+            "by both nets, agree-or-draw)",
             int(unfinished.sum()), 2 * k_opp * g, max_moves,
         )
-        adjudicated = _adjudicate(
+        exp_a = _expectation_cross(
             net_apply_a, variables_a, tables, env.board, env.to_move,
             raw_input_a,
         )
+        # each opponent adjudicates its own block with its own net
+        adjudicated = np.full(outcomes.shape, int(GameOutcome.DRAW), np.int8)
+        for k, opp in enumerate(opponents):
+            blk = slice(2 * k * g, 2 * (k + 1) * g)
+            exp_b = _expectation_cross(
+                opp.net_apply, opp.variables, tables,
+                env.board[blk], env.to_move[blk], opp.raw_input,
+            )
+            adjudicated[blk] = _adjudicate_pair(exp_a[blk], exp_b)
 
     results = []
     for k in range(k_opp):

@@ -462,6 +462,8 @@ class LossPrepared(NamedTuple):
     provable: jax.Array  # [B] option set is complete and fits M
     five_case: jax.Array  # [B]
     n_opts: jax.Array  # [B]
+    base: jax.Array  # [B] raw mate length of the triggering execution
+    # (1 five / 3 win-in-3 / 5 fork-4x3)
 
 
 def prepare_loss(
@@ -500,6 +502,19 @@ def prepare_loss(
       (overline / double-four line / two fours — exact, recursion-free) are
       unplayable and dropped; maybe-forbidden (3x3) options are kept and
       must be refuted like any other.
+    - DEEPER loss (fork-4x3 trigger, the batched defend_loss_in_6): no
+      five/win-in-3 but the attacker holds a FORK_4x3 cell and the defender
+      has NO four/five makers at all (the reference's gate,
+      MoveGenerator.cpp:423-447 `defend_loss_in_6` with
+      n_available_fours==0).  The complete defensive set the reference
+      relies on for its fail-low (must_defend => is_fully_expanded):
+      defensive-table cells of the open-3 and half-open-4 directions of the
+      fork, the fork cell itself, and initiative-regaining cells — cells
+      within 4 steps along any direction of a half-open-4 defense where the
+      defender holds ANY pattern (a SUPERSET of the reference's
+      direction-matched test, which preserves completeness).  The fork's
+      win may still fail (renju fake threes, hidden refutations) — then the
+      child VCTs simply do not prove and no loss is claimed.
     Everything else (counter-four races, defender fives after blocks,
     renju fine print) is handled by the child VCT itself."""
     board = jnp.asarray(board)
@@ -545,23 +560,74 @@ def prepare_loss(
     for code in (T.PT_OPEN_4, T.PT_DOUBLE_4, T.PT_HALF_OPEN_4):
         m = DEF.get_moves_batched(rules, ext, dic, code).astype(jnp.uint32)
         dmask = jnp.where(pts_at_rc == code, m, dmask)
-    steps_np = np.asarray(V.DIRECTION_STEPS, np.int32)  # [4, 2]
-    offs = np.arange(DEF.EXT_LENGTH, dtype=np.int32) - DEF.CENTER  # [13]
-    bit = ((dmask[:, :, None] >> jnp.asarray(
-        np.arange(DEF.EXT_LENGTH, dtype=np.uint32))[None, None, :]) & 1) == 1
-    rr = mr[:, None, None] + offs[None, None, :] * steps_np[None, :, 0:1]
-    cc = mc[:, None, None] + offs[None, None, :] * steps_np[None, :, 1:2]
-    ok = bit & (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
-    cell = jnp.clip(rr, 0, h - 1) * w + jnp.clip(cc, 0, w - 1)
-    tbl_opts = jnp.any(
-        (cell[..., None] == jnp.arange(hw, dtype=jnp.int32)) & ok[..., None],
-        axis=(1, 2),
-    )  # [B, HW]
+
+    def table_cells(dm, mrq, mcq):
+        """Defensive-table bitmasks [B, 4] at cell (mrq, mcq) -> [B, HW]."""
+        steps_np = np.asarray(V.DIRECTION_STEPS, np.int32)  # [4, 2]
+        offs = np.arange(DEF.EXT_LENGTH, dtype=np.int32) - DEF.CENTER  # [13]
+        bit = ((dm[:, :, None] >> jnp.asarray(
+            np.arange(DEF.EXT_LENGTH, dtype=np.uint32))[None, None, :]) & 1) == 1
+        rr = mrq[:, None, None] + offs[None, None, :] * steps_np[None, :, 0:1]
+        cc = mcq[:, None, None] + offs[None, None, :] * steps_np[None, :, 1:2]
+        ok = bit & (rr >= 0) & (rr < h) & (cc >= 0) & (cc < w)
+        cell = jnp.clip(rr, 0, h - 1) * w + jnp.clip(cc, 0, w - 1)
+        return jnp.any(
+            (cell[..., None] == jnp.arange(hw, dtype=jnp.int32)) & ok[..., None],
+            axis=(1, 2),
+        )  # [B, HW]
+
+    tbl_opts = table_cells(dmask, mr, mc)
     # the threat cell itself always defends (occupying it kills the move)
     tbl_opts = tbl_opts | (rc[:, None] == jnp.arange(hw, dtype=jnp.int32))
     four_case = four_case & jnp.any(dmask != 0, -1)
-    opts = jnp.where(five_case[:, None], opts,
-                     jnp.where(four_case[:, None], tbl_opts, False))
+
+    # ---- deeper trigger: attacker FORK_4x3, four-less defender ------------
+    # (the batched defend_loss_in_6, MoveGenerator.cpp:423-447; see the
+    # soundness note in the docstring)
+    att_tt = V.threat_type(
+        tables, att_pts,
+        jnp.broadcast_to(att_is_circle[:, None, None], (bsz, h, w)),
+    )
+    fork43 = (att_tt == T.TT_FORK_4x3) & empty
+    if renju:
+        fork43 = fork43 & ~att["certain_forb"]
+    fork43_flat = fork43.reshape(bsz, hw)
+    fork_case = (
+        ~jnp.any(att5, -1) & ~def_force & ~four_case & jnp.any(fork43_flat, -1)
+    )
+    rc3 = jnp.argmax(fork43_flat, -1).astype(jnp.int32)
+    mr3, mc3 = rc3 // w, rc3 % w
+    ext3 = _ext_windows_at_one(board, mr3, mc3)
+    pts3 = L.pts_at_cell(att_pts, rc3)  # [B, 4]
+    dmask3 = jnp.zeros((bsz, 4), jnp.uint32)
+    ho4mask3 = jnp.zeros((bsz, 4), jnp.uint32)
+    for code in (T.PT_OPEN_3, T.PT_HALF_OPEN_4):
+        m = DEF.get_moves_batched(rules, ext3, dic, code).astype(jnp.uint32)
+        dmask3 = jnp.where(pts3 == code, m, dmask3)
+        if code == T.PT_HALF_OPEN_4:
+            ho4mask3 = jnp.where(pts3 == code, m, ho4mask3)
+    tbl3 = table_cells(dmask3, mr3, mc3)
+    ho4def = table_cells(ho4mask3, mr3, mc3).reshape(bsz, h, w)
+    # initiative-regaining superset: within 4 steps along any direction of
+    # a half-open-4 defense, any cell where the defender holds a pattern
+    pad4 = jnp.pad(ho4def, ((0, 0), (4, 4), (4, 4)))
+    near = jnp.zeros_like(ho4def)
+    for dr, dc in V.DIRECTION_STEPS:
+        for i in range(-4, 5):
+            if i == 0:
+                continue
+            near = near | pad4[
+                :, 4 + i * dr : 4 + i * dr + h, 4 + i * dc : 4 + i * dc + w
+            ]
+    def_any = (def_pts > 0).any(-1)  # [B, H, W]
+    init_cells = (near & def_any & empty).reshape(bsz, hw)
+    opts3 = tbl3 | (rc3[:, None] == jnp.arange(hw, dtype=jnp.int32)) | init_cells
+    fork_case = fork_case & jnp.any(dmask3 != 0, -1)
+
+    opts = jnp.where(
+        five_case[:, None], opts,
+        jnp.where(four_case[:, None], tbl_opts,
+                  jnp.where(fork_case[:, None], opts3, False)))
     opts = opts & empty.reshape(bsz, hw)
     if renju:
         # black defender: certainly-forbidden cells are unplayable
@@ -570,7 +636,10 @@ def prepare_loss(
             False,
         )
     n_opts = opts.sum(-1)
-    provable = (five_case | four_case) & (n_opts <= M)
+    provable = (five_case | four_case | fork_case) & (n_opts <= M)
+    base = jnp.where(
+        five_case, 1, jnp.where(four_case, 3, 5)
+    ).astype(jnp.int32)  # raw mate length of the triggering execution
 
     # ---- expand the batch by the option axis and run the attacker VCT -----
     opt_idx = jax.lax.top_k(opts.astype(jnp.int32)
@@ -587,7 +656,7 @@ def prepare_loss(
     child_stm = jnp.broadcast_to(att_sign[:, None], (bsz, M)).reshape(-1)
     return LossPrepared(
         child_board=child, child_stm=child_stm, valid=valid,
-        provable=provable, five_case=five_case, n_opts=n_opts,
+        provable=provable, five_case=five_case, n_opts=n_opts, base=base,
     )
 
 
@@ -595,10 +664,9 @@ def finish_loss(prep: LossPrepared, cwin: jax.Array, cdist: jax.Array) -> LossRe
     """Combine the children's VCT verdicts ([B, M] win/distance) into the
     loss proof: all real options refuted -> the side to move is lost."""
     valid, provable = prep.valid, prep.provable
-    five_case, n_opts = prep.five_case, prep.n_opts
+    n_opts, base = prep.n_opts, prep.base
     refuted_all = (cwin | ~valid).all(-1)
     loss = provable & refuted_all
-    base = jnp.where(five_case, 1, 3)  # mate length of the raw execution
     worst = jnp.where(valid & cwin, cdist, base[:, None]).max(-1)
     distance = jnp.where(loss, 1 + jnp.where(n_opts > 0, worst, base), 0)
     return LossResult(loss=loss, distance=distance.astype(jnp.int32))

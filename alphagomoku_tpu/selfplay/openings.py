@@ -2,10 +2,12 @@
 
 Counterpart of the reference's OpeningGenerator
 (reference: include/alphagomoku/selfplay/OpeningGenerator.hpp:23-70,
-src/selfplay/OpeningGenerator.cpp): propose random short openings, evaluate
-the resulting positions with the network in one batch, and keep the ones
-whose evaluation is closest to balanced (the reference additionally runs the
-solver; the static solver is implicit here through the search's own use)."""
+src/selfplay/OpeningGenerator.cpp:21-66): propose random short openings,
+SOLVER-CHECK the candidates (the reference runs AlphaBetaSearch with a
+1000-node limit and discards proven positions — here the batched VCT win
+solver + loss prover run over all candidates in lockstep), then evaluate
+the survivors with the network in one batch and keep the ones whose
+evaluation is closest to balanced."""
 
 from __future__ import annotations
 
@@ -67,9 +69,16 @@ def generate_balanced_openings(
     stones: int = 4,
     oversample: int = 4,
     raw_input: bool = True,
+    solver_check: bool = True,
+    solver_steps: int = 48,
 ) -> jax.Array:
     """Keep the `count` most balanced of `count*oversample` random openings,
-    judged by the network's value head (jit the caller)."""
+    judged by the network's value head (jit the caller).  With
+    `solver_check`, candidates the batched solver PROVES (a VCT win for the
+    mover or a proven loss) are discarded first — a provably decided
+    opening can never be balanced (reference: OpeningGenerator.cpp:21-66
+    runs the alpha-beta solver on every candidate and keeps only unproven
+    ones)."""
     k1, k2 = jax.random.split(key)
     cand = propose_random_openings(k1, count * oversample, rows, cols, stones)
     stm = jnp.full((count * oversample,), CROSS if stones % 2 == 0 else CIRCLE, jnp.int8)
@@ -77,5 +86,17 @@ def generate_balanced_openings(
         net_apply, variables, tables, cand, stm, raw_input
     )
     imbalance = jnp.abs(value[:, 0] + 0.5 * value[:, 1] - 0.5)
+    if solver_check:
+        from ..search import vct_batched as _vctb
+
+        sres = _vctb.solve(
+            tables, cand, stm, max_depth=6, max_steps=solver_steps
+        )
+        lres = _vctb.solve_loss(
+            tables, cand, stm, max_options=8, max_depth=6,
+            max_steps=solver_steps,
+        )
+        proven = sres.win | lres.loss
+        imbalance = jnp.where(proven, jnp.float32(jnp.inf), imbalance)
     _, idx = jax.lax.top_k(-imbalance, count)
     return cand[idx]

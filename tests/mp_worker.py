@@ -122,6 +122,8 @@ cfg = ManagerConfig(
     balanced_openings=False,
     use_gating=True,
     gating_games=4,
+    leaf_solver="none",
+    tree_reuse=False,
     distributed=True,
     seed=3,
 )

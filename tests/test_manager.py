@@ -26,6 +26,9 @@ def tiny_cfg(tmp_path_factory):
         num_simulations=8,
         train_steps_per_iteration=4,
         train_batch_size=32,
+        leaf_solver="none",  # tiny CPU configs pin the fast settings the
+        tree_reuse=False,    # production defaults now enable
+        use_gating=False,
         seed=0,
     )
 

@@ -148,6 +148,9 @@ def test_manager_async_evaluation(tmp_path):
         use_evaluation=True,
         eval_opponents=(-1, -2),
         eval_games=4,
+        leaf_solver="none",
+        tree_reuse=False,
+        use_gating=False,
         eval_in_parallel=True,
         balanced_openings=False,
         seed=0,
