@@ -39,6 +39,86 @@ class SearchSummary(NamedTuple):
     # printed by SearchEngine::logSearchInfo, Search.hpp:33-54)
 
 
+class Measurement:
+    """Sliding window of (step, speed) samples with linear-regression
+    prediction (reference: ThreatSpaceSearch Measurement,
+    src/search/alpha_beta/ThreatSpaceSearch.cpp:80-117)."""
+
+    def __init__(self, param_value: int):
+        self.param_value = int(param_value)
+        self.values: list[tuple[int, float]] = []
+
+    def update(self, x: int, y: float) -> None:
+        if len(self.values) >= 10:
+            self.values.pop(0)
+        self.values.append((x, y))
+
+    def predict(self, x: int) -> tuple[float, float]:
+        if len(self.values) < 5:
+            return 0.0, 1.0e6
+        xs = np.asarray([v[0] for v in self.values], np.float64)
+        ys = np.asarray([v[1] for v in self.values], np.float64)
+        n = len(xs)
+        mx, my = xs.mean(), ys.mean()
+        sxx = ((xs - mx) ** 2).sum()
+        slope = ((xs - mx) * (ys - my)).sum() / max(sxx, 1e-9)
+        intercept = my - slope * mx
+        resid = ys - (intercept + slope * xs)
+        var = (resid ** 2).sum() / max(n - 2, 1)
+        pred_var = var * (1.0 / n + (x - mx) ** 2 / max(sxx, 1e-9))
+        return float(intercept + slope * x), float(np.sqrt(max(pred_var, 0.0)))
+
+
+class SolverBudgetTuner:
+    """Online self-tuning of the leaf-solver width cap for SPEED
+    (reference: ThreatSpaceSearch::tune, ThreatSpaceSearch.cpp:243-307 —
+    shipped there without a caller; wired here into Engine.search).
+
+    Alternates searches between a lower cap and `step x` that cap, feeds
+    each measured speed into that cap's regression, and doubles/halves the
+    bracket when the regression says the larger cap is faster with >95%
+    (or <5%) confidence."""
+
+    def __init__(self, cap: int, step: int = 2, cap_max: int = 2048,
+                 cap_min: int = 32):
+        self.step = int(step)
+        self.cap_max = int(cap_max)
+        self.cap_min = int(cap_min)
+        self.lower = Measurement(cap)
+        self.upper = Measurement(self.step * cap)
+        self.current = cap
+        self.counter = 0
+
+    def record(self, speed: float) -> int:
+        """Feed the speed measured at `self.current`; returns the cap the
+        NEXT search should use."""
+        if self.current == self.lower.param_value:
+            self.lower.update(self.counter, speed)
+            self.current = self.upper.param_value
+        else:
+            self.upper.update(self.counter, speed)
+            self.current = self.lower.param_value
+        self.counter += 1
+        lo_m, lo_s = self.lower.predict(self.counter)
+        up_m, up_s = self.upper.predict(self.counter)
+        mean = lo_m - up_m
+        stddev = float(np.hypot(lo_s, up_s))
+        from math import erf, sqrt
+
+        probability = 1.0 - 0.5 * (1.0 + erf(mean / max(stddev, 1e-9) / sqrt(2)))
+        if probability > 0.95 and self.lower.param_value * self.step <= self.cap_max:
+            new_cap = self.step * self.lower.param_value
+            self.lower = Measurement(new_cap)
+            self.upper = Measurement(self.step * new_cap)
+            self.current = new_cap
+        elif probability < 0.05 and self.lower.param_value // self.step >= self.cap_min:
+            new_cap = self.lower.param_value // self.step
+            self.lower = Measurement(new_cap)
+            self.upper = Measurement(self.step * new_cap)
+            self.current = new_cap
+        return self.current
+
+
 class Engine:
     """One playing engine instance."""
 
@@ -59,6 +139,7 @@ class Engine:
         max_memory: int | None = None,
         max_depth: int | None = None,
         draw_after: int = 0,
+        solver_tuning: bool = False,
     ):
         self.rules = rules
         self.rows, self.cols = rows, cols
@@ -90,6 +171,14 @@ class Engine:
         self._last_state: mcts.SearchState | None = None
         self._last_moves: list[Move] = []
         self.reuse_count = 0
+        # online solver-budget self-tuning (reference:
+        # ThreatSpaceSearch::tune — measure speed at two cap values,
+        # regress, shift the bracket); per-cap jits are cached in _fn_cache
+        self._tuner = (
+            SolverBudgetTuner(self._mcfg.leaf_solver_cap or 256)
+            if solver_tuning and leaf_solver != "none" else None
+        )
+        self._fn_cache: dict = {}
         self._init_fn = jax.jit(self._make_init)
         self._chunk_fn = jax.jit(self._make_chunk)
         self._vcf_fn = jax.jit(
@@ -201,10 +290,21 @@ class Engine:
                 proven="WIN (VCT)",
             )
 
+        if self._tuner is not None:
+            cap = self._tuner.current
+            if cap != self._mcfg.leaf_solver_cap:
+                self._mcfg = self._mcfg._replace(leaf_solver_cap=cap)
+                if cap not in self._fn_cache:
+                    self._fn_cache[cap] = (
+                        jax.jit(self._make_init), jax.jit(self._make_chunk)
+                    )
+                self._init_fn, self._chunk_fn = self._fn_cache[cap]
+                self._last_state = None  # tree built under another config
         state = self._warm_start(board, stm)
         if state is None:
             state = self._init_fn(self.variables, board, stm)
         sims = 0
+        t_sims = time.monotonic()
         target = max_simulations if max_simulations is not None else self.simulations
         while sims < target:
             state = self._chunk_fn(self.variables, state)
@@ -225,6 +325,10 @@ class Engine:
                 break
         self._last_state = state
         self._last_moves = list(self.moves)
+        if self._tuner is not None and sims > 0:
+            jax.block_until_ready(state.tree.node_visits)
+            dt = max(time.monotonic() - t_sims, 1e-6)
+            self._tuner.record(sims / dt)
         return self._summarize(state, stm_val, sims, time.monotonic() - t0, selector)
 
     def _warm_start(self, board, stm) -> "mcts.SearchState | None":

@@ -135,6 +135,8 @@ class ProgramManager:
                 max_memory=max_memory if max_memory > 0 else None,
                 max_depth=max_depth if max_depth > 0 else None,
                 draw_after=int(float(self.options.get("draw_after", "0") or 0)),
+                solver_tuning=self.options.get("solver_tuning", "") in
+                ("1", "true", "on"),
             )
         return self.engine
 

@@ -206,3 +206,116 @@ def train_from_replay(
     feats = nnue_features(tables, boards, stm)
     variables, loss = train_nnue(feats, value_wdl, steps, hidden, lr, seed)
     return quantize(variables), loss
+
+
+# ---------------------------------------------------------------------------
+# Policy NNUE (reference: TrainingNNUE_policy, NNUE.cpp:290-379 — a tiny
+# conv net over per-cell threat planes producing a move distribution, the
+# policy counterpart used for solver move ordering)
+# ---------------------------------------------------------------------------
+
+
+def nnue_policy_planes(tables, board: jax.Array, stm: jax.Array) -> jax.Array:
+    """[B, H, W] board + [B] stm -> [B, H, W, 16] f32 planes with the
+    reference's STM-RELATIVE layout (NNUE.cpp:337-361 packInputData):
+    opponent ThreatType one-hot OPEN_3..FIVE at [0..6], own at [7..13],
+    opponent stone at [14], own stone at [15]."""
+    from ..game.types import CROSS, GameRules
+    from ..game import vectorized as V
+    from ..patterns import bitwise
+    from ..patterns import tables as T
+
+    board = jnp.asarray(board)
+    bsz, h, w = board.shape
+    wins = jnp.moveaxis(V.windows_all(board), 1, -1)  # [B, H, W, 4]
+    pts_cross, pts_circle = bitwise.classify(wins, GameRules(tables.rules))
+    false_ = jnp.zeros((bsz, h, w), bool)
+    tt_cross = V.threat_type(tables, pts_cross, false_)
+    tt_circle = V.threat_type(tables, pts_circle, jnp.ones((bsz, h, w), bool))
+    empty = board == 0
+    stm_is_cross = (jnp.asarray(stm) == CROSS)[:, None, None]
+
+    def one_hot_threats(tt):
+        idx = tt - T.TT_OPEN_3
+        oh = jax.nn.one_hot(jnp.clip(idx, 0, 6), 7, dtype=jnp.float32)
+        valid = (idx >= 0) & (idx <= 6) & empty
+        return oh * valid[..., None].astype(jnp.float32)
+
+    oh_cross = one_hot_threats(tt_cross)
+    oh_circle = one_hot_threats(tt_circle)
+    own = jnp.where(stm_is_cross[..., None], oh_cross, oh_circle)
+    opp = jnp.where(stm_is_cross[..., None], oh_circle, oh_cross)
+    own_stone = jnp.where(stm_is_cross, board == CROSS, board == 2)
+    opp_stone = jnp.where(stm_is_cross, board == 2, board == CROSS)
+    return jnp.concatenate(
+        [
+            opp, own,
+            opp_stone[..., None].astype(jnp.float32),
+            own_stone[..., None].astype(jnp.float32),
+        ],
+        axis=-1,
+    )  # [B, H, W, 16]
+
+
+class NNUEPolicyModel(nn.Module):
+    """fp32 policy model (reference graph, NNUE.cpp:310-326: Conv 5x5
+    no-bias + BN relu, 1x1 no-bias + BN relu middle layers, final 1x1 to
+    one logit per cell; softmax lives in the loss)."""
+
+    arch: tuple = (32, 32, 1)
+
+    @nn.compact
+    def __call__(self, planes: jax.Array, train: bool = False) -> jax.Array:
+        x = nn.Conv(self.arch[0], (5, 5), use_bias=False)(planes)
+        x = nn.relu(nn.BatchNorm(use_running_average=not train,
+                                 use_scale=False)(x))
+        for width in self.arch[1:-1]:
+            x = nn.Conv(width, (1, 1), use_bias=False)(x)
+            x = nn.relu(nn.BatchNorm(use_running_average=not train,
+                                     use_scale=False)(x))
+        x = nn.Conv(1, (1, 1))(x)
+        return x[..., 0]  # [B, H, W] logits
+
+
+def train_nnue_policy(
+    tables,
+    boards: jax.Array,
+    stm: jax.Array,
+    policy_targets: jax.Array,
+    steps: int = 300,
+    arch: tuple = (32, 32, 1),
+    lr: float = 1e-3,
+    seed: int = 0,
+):
+    """Fit the policy NNUE to visit-distribution targets [B, H, W]
+    (reference: TrainingNNUE_policy with CrossEntropyLoss + RAdam,
+    NNUE.cpp:326-335).  Returns (variables, final_loss)."""
+    import optax
+
+    planes = nnue_policy_planes(tables, boards, stm)
+    model = NNUEPolicyModel(arch)
+    variables = model.init(jax.random.PRNGKey(seed), planes[:1], train=True)
+    tx = optax.radam(lr)
+    params, batch_stats = variables["params"], variables.get("batch_stats", {})
+    opt = tx.init(params)
+    bsz = planes.shape[0]
+    tgt = policy_targets.reshape(bsz, -1)
+
+    @jax.jit
+    def step(params, batch_stats, opt):
+        def loss_fn(p):
+            logits, upd = model.apply(
+                {"params": p, "batch_stats": batch_stats}, planes, train=True,
+                mutable=["batch_stats"],
+            )
+            lp = jax.nn.log_softmax(logits.reshape(bsz, -1), -1)
+            return -(tgt * lp).sum(-1).mean(), upd["batch_stats"]
+
+        (loss, new_bs), grads = jax.value_and_grad(loss_fn, has_aux=True)(params)
+        updates, opt2 = tx.update(grads, opt)
+        return optax.apply_updates(params, updates), new_bs, opt2, loss
+
+    loss = None
+    for _ in range(steps):
+        params, batch_stats, opt, loss = step(params, batch_stats, opt)
+    return {"params": params, "batch_stats": batch_stats}, float(loss)

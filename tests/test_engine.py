@@ -178,3 +178,34 @@ def test_swap2_extremes_swap_or_move(manager, monkeypatch):
             moves = [l for l in out
                      if "," in l and not l.startswith(("MESSAGE", "ERROR"))]
             assert len(moves) == 1 and len(moves[0].split()) == 1
+
+
+def test_solver_budget_tuner_brackets():
+    """SolverBudgetTuner (reference: ThreatSpaceSearch::tune) alternates
+    caps, and shifts the bracket up/down once the regression is confident."""
+    from alphagomoku_tpu.engine.engine import SolverBudgetTuner
+
+    t = SolverBudgetTuner(cap=128, step=2, cap_max=1024, cap_min=32)
+    # larger cap consistently faster -> bracket doubles eventually
+    for _ in range(40):
+        cap = t.current
+        speed = 100.0 if cap == t.lower.param_value else 150.0
+        t.record(speed)
+        if t.lower.param_value > 128:
+            break
+    assert t.lower.param_value == 256, t.lower.param_value
+    assert t.upper.param_value == 512
+
+    t2 = SolverBudgetTuner(cap=128, step=2, cap_max=1024, cap_min=32)
+    # larger cap consistently SLOWER -> bracket halves
+    for _ in range(40):
+        cap = t2.current
+        speed = 150.0 if cap == t2.lower.param_value else 100.0
+        t2.record(speed)
+        if t2.lower.param_value < 128:
+            break
+    assert t2.lower.param_value == 64
+    # caps stay within [cap_min, cap_max]
+    for _ in range(200):
+        t2.record(200.0 if t2.current == t2.lower.param_value else 10.0)
+    assert t2.lower.param_value >= 32

@@ -1,0 +1,72 @@
+"""Host validation minimax (search/minimax.py) vs known tactical results
+and the batched solvers (reference scaffold: MinimaxSearch.cpp)."""
+
+import numpy as np
+import jax.numpy as jnp
+
+from alphagomoku_tpu.game.types import CROSS, CIRCLE, GameRules
+from alphagomoku_tpu.game import vectorized as V
+from alphagomoku_tpu.search import minimax as MM
+from alphagomoku_tpu.search import move_generator as MG
+from alphagomoku_tpu.search import vct_batched as VB
+
+H = W = 15
+
+
+def test_win_in_1_and_3():
+    b = np.zeros((H, W), np.int8)
+    b[7, 3:7] = CROSS  # four in a row, open at (7,7) and (7,2)
+    s, acts = MM.solve(b, CROSS, GameRules.FREESTYLE, depth=2)
+    assert s == MG.win_in(1)
+    assert acts[(7, 7)] == MG.win_in(1) or acts[(7, 2)] == MG.win_in(1)
+
+    b2 = np.zeros((H, W), np.int8)
+    b2[7, 4:7] = CROSS  # open three -> open four -> win in 3
+    b2[0, 0] = b2[0, 14] = CIRCLE
+    s2, _ = MM.solve(b2, CROSS, GameRules.FREESTYLE, depth=4)
+    assert s2 == MG.win_in(3), hex(s2)
+
+
+def test_double_three_win_in_5():
+    """A double-open-three fork wins in 5 plies — beyond the static stages,
+    provable only by the recursion."""
+    b = np.zeros((H, W), np.int8)
+    b[5, 7] = b[6, 7] = CROSS  # vertical pair
+    b[7, 5] = b[7, 6] = CROSS  # horizontal pair
+    b[0, 0] = b[0, 14] = b[14, 0] = CIRCLE
+    s, acts = MM.solve(b, CROSS, GameRules.FREESTYLE, depth=6)
+    assert MG.is_win(s), hex(s)
+    assert s == MG.win_in(5), hex(s)
+    assert MG.is_win(acts[(7, 7)])  # the fork cell
+
+
+def test_minimax_agrees_with_batched_vct():
+    """On random tactical boards every batched VCT win claim is confirmed
+    by the (independent) minimax at matching depth."""
+    tables = V.device_tables(GameRules.FREESTYLE)
+    rng = np.random.default_rng(9)
+    boards = []
+    for _ in range(24):
+        b = np.zeros((H, W), np.int8)
+        r0, c0 = rng.integers(4, 9, size=2)
+        n = rng.integers(4, 9)
+        rs = np.clip(r0 + rng.integers(0, 5, size=n), 0, H - 1)
+        cs = np.clip(c0 + rng.integers(0, 5, size=n), 0, W - 1)
+        b[rs, cs] = CROSS
+        for _ in range(rng.integers(0, 2)):
+            r, c = rng.integers(0, H, size=2)
+            if b[r, c] == 0:
+                b[r, c] = CIRCLE
+        boards.append(b)
+    batch = jnp.asarray(np.stack(boards))
+    stm = jnp.full((len(boards),), CROSS, jnp.int8)
+    res = VB.solve(tables, batch, stm, max_depth=6, max_steps=256)
+    win = np.asarray(res.win)
+    dist = np.asarray(res.distance)
+    confirmed = 0
+    for i in np.where(win)[0]:
+        s, _ = MM.solve(boards[i], CROSS, GameRules.FREESTYLE,
+                        depth=int(dist[i]) + 1, mode="threats")
+        assert MG.is_win(s), (i, hex(s), int(dist[i]))
+        confirmed += 1
+    assert confirmed >= 1  # corpus must exercise the cross-check

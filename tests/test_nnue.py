@@ -112,3 +112,47 @@ def test_nnue_changes_search_values():
     v1 = np.asarray(mcts.root_value(blended))
     assert np.isfinite(v1).all()
     assert not np.allclose(v0, v1), "nnue blending must change root values"
+
+
+def test_policy_nnue_layout_and_training():
+    """Policy NNUE (reference: TrainingNNUE_policy, NNUE.cpp:290-379):
+    stm-relative plane layout + loss decreases on a tiny fit."""
+    import jax
+    import jax.numpy as jnp
+    import numpy as np
+
+    from alphagomoku_tpu.game.types import CROSS, CIRCLE, GameRules
+    from alphagomoku_tpu.game import vectorized as V
+    from alphagomoku_tpu.models import nnue as N
+
+    tables = V.device_tables(GameRules.FREESTYLE)
+    H = W = 9
+    b = np.zeros((1, H, W), np.int8)
+    b[0, 4, 2:5] = CROSS  # cross open three
+    b[0, 0, 0] = CIRCLE
+
+    pl_x = np.asarray(N.nnue_policy_planes(tables, jnp.asarray(b),
+                                           jnp.asarray([CROSS], jnp.int8)))[0]
+    pl_o = np.asarray(N.nnue_policy_planes(tables, jnp.asarray(b),
+                                           jnp.asarray([CIRCLE], jnp.int8)))[0]
+    # cross to move: cross threats are OWN (channels 7..13); the open-three
+    # promotion cells (4,1)/(4,5) carry OPEN_4 threat class for cross
+    own_any_x = pl_x[..., 7:14].sum(-1)
+    opp_any_x = pl_x[..., 0:7].sum(-1)
+    assert own_any_x.sum() > 0 and opp_any_x.sum() == 0
+    # circle to move: the same planes flip to OPPONENT channels
+    assert np.allclose(pl_o[..., 0:7], pl_x[..., 7:14])
+    assert np.allclose(pl_o[..., 7:14], pl_x[..., 0:7])
+    # stones: own at 15, opp at 14
+    assert pl_x[4, 2, 15] == 1.0 and pl_x[0, 0, 14] == 1.0
+    assert pl_o[4, 2, 14] == 1.0 and pl_o[0, 0, 15] == 1.0
+
+    # tiny fit: target = uniform over the three promotion cells
+    tgt = np.zeros((1, H, W), np.float32)
+    tgt[0, 4, 1] = tgt[0, 4, 5] = 0.5
+    _vars, loss = N.train_nnue_policy(
+        tables, jnp.asarray(b), jnp.asarray([CROSS], jnp.int8),
+        jnp.asarray(tgt), steps=60, arch=(16, 1), lr=3e-3,
+    )
+    assert np.isfinite(loss)
+    assert loss < 4.0  # well below uniform log(81) ~ 4.39

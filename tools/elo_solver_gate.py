@@ -6,8 +6,12 @@ MCTSConfig.leaf_solver differs, so the Elo delta isolates the solver's
 contribution (reference capability: the AlphaBetaSearch leg's tactical
 strength, Search.cpp:159-183).
 
+--gate loss_prover instead isolates the LOSS prover: BOTH sides run the
+VCT win solver; only side A adds loss proving (VERDICT r3 task 6).
+
 Usage: python tools/elo_solver_gate.py [--pairs 24] [--sims 64] [--size 9]
        [--solver vct] [--steps 16] [--cpu] [--checkpoint ckpt.msgpack]
+       [--gate solver|loss_prover]
 """
 
 from __future__ import annotations
@@ -36,6 +40,8 @@ def main() -> None:
     p.add_argument("--checkpoint", default=None)
     p.add_argument("--max-moves", type=int, default=80)
     p.add_argument("--cpu", action="store_true")
+    p.add_argument("--gate", default="solver", choices=["solver", "loss_prover"])
+    p.add_argument("--loss-cap", type=int, default=32)
     args = p.parse_args()
 
     if args.cpu:
@@ -68,10 +74,20 @@ def main() -> None:
         return net.apply(v, planes, train=False)
 
     base = dict(max_nodes=args.sims + 8, max_edges=h * w, max_depth=24)
-    cfg_on = mcts.MCTSConfig(
-        **base, leaf_solver=args.solver, leaf_solver_steps=args.steps,
-        leaf_solver_depth=args.depth)
-    cfg_off = mcts.MCTSConfig(**base, leaf_solver="none")
+    if args.gate == "loss_prover":
+        # both sides run the win solver; A adds the loss prover
+        common = dict(
+            leaf_solver=args.solver, leaf_solver_steps=args.steps,
+            leaf_solver_depth=args.depth,
+        )
+        cfg_on = mcts.MCTSConfig(
+            **base, **common, loss_prover=True, loss_cap=args.loss_cap)
+        cfg_off = mcts.MCTSConfig(**base, **common)
+    else:
+        cfg_on = mcts.MCTSConfig(
+            **base, leaf_solver=args.solver, leaf_solver_steps=args.steps,
+            leaf_solver_depth=args.depth)
+        cfg_off = mcts.MCTSConfig(**base, leaf_solver="none")
 
     rng = np.random.default_rng(0)
     openings = M.random_openings(rng, args.pairs, h, w, stones=4)
@@ -84,6 +100,7 @@ def main() -> None:
     )
     dt = time.time() - t0
     out = {
+        "gate": args.gate,
         "solver": args.solver,
         "steps": args.steps,
         "sims": args.sims,

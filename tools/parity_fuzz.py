@@ -172,6 +172,9 @@ def main() -> int:
     p.add_argument("--positions-npz", default=None,
                    help="npz with 'boards' int8 [N,H,W] (e.g. dumped from "
                         "selfplay) — replaces synthetic board generation")
+    p.add_argument("--only", default=None, choices=[None, "forbidden"],
+                   help="restrict to one check (forbidden: the renju "
+                        "exactness leg over large selfplay corpora)")
     args = p.parse_args()
 
     if args.cpu:
@@ -238,6 +241,32 @@ def main() -> int:
         for b in boards:
             stats["boards"] += 1
             oracle.set_board(b)
+            if args.only == "forbidden":
+                if rules != GameRules.RENJU:
+                    continue
+                empty = b == NONE
+                empties = np.argwhere(empty)
+                ref_forb = np.zeros((h, w), bool)
+                for pr, pc_ in empties:
+                    ref_forb[pr, pc_] = oracle.forbidden(int(pr), int(pc_))
+                host_forb = np.zeros((h, w), bool)
+                for pr, pc_ in empties:
+                    host_forb[pr, pc_] = R.is_forbidden(
+                        b, Move(row=int(pr), col=int(pc_), sign=CROSS))
+                stats["forbidden_cells"] += len(empties)
+                dh = (ref_forb != host_forb) & empty
+                if dh.any():
+                    stats["forbidden_div_host"] += int(dh.sum())
+                    failures.append(("forbidden_host", b.tolist()))
+                if not args.skip_jit:
+                    jf_, junc_ = fplane[rules](jnp.asarray(b[None]))
+                    jf = np.asarray(jf_)[0]
+                    dj = (ref_forb != jf) & empty
+                    if dj.any():
+                        failures.append(("forbidden_jit", b.tolist()))
+                    stats["forbidden_div_jit"] += int(dj.sum())
+                    stats["forbidden_uncertain_jit"] += int(np.asarray(junc_).sum())
+                continue
             ref_tt, ref_px, ref_po, ref_h3x, ref_h3o = oracle.planes(h, w)
             ana = H.analyze(b, rules)
             empty = b == NONE
