@@ -70,3 +70,35 @@ def test_minimax_agrees_with_batched_vct():
         assert MG.is_win(s), (i, hex(s), int(dist[i]))
         confirmed += 1
     assert confirmed >= 1  # corpus must exercise the cross-check
+
+
+def test_alpha_beta_iterative_deepening():
+    """solve_ab (AlphaBetaSearch twin): proves the tactical wins the plain
+    minimax proves, and its depth-0 evaluation matches the reference's
+    threat-histogram constants."""
+    from alphagomoku_tpu.search.minimax import solve_ab, evaluate
+
+    b = np.zeros((H, W), np.int8)
+    b[7, 4:7] = CROSS  # open three -> win in 3
+    b[0, 0] = b[0, 14] = CIRCLE
+    s, acts = solve_ab(b, CROSS, GameRules.FREESTYLE, max_depth=8)
+    assert s == MG.win_in(3), hex(s)
+
+    # double-three fork -> win in 5 through the deepening
+    b2 = np.zeros((H, W), np.int8)
+    b2[5, 7] = b2[6, 7] = CROSS
+    b2[7, 5] = b2[7, 6] = CROSS
+    b2[0, 0] = b2[0, 14] = b2[14, 0] = CIRCLE
+    s2, _ = solve_ab(b2, CROSS, GameRules.FREESTYLE, max_depth=8)
+    assert s2 == MG.win_in(5), hex(s2)
+
+    # evaluation: one cross open three on an otherwise quiet board gives
+    # 12 + 2*19 (two OPEN_3 completion spots) + opponent-view contributions
+    b3 = np.zeros((H, W), np.int8)
+    b3[7, 4:7] = CROSS
+    ev_cross = evaluate(b3, CROSS, GameRules.FREESTYLE)
+    ev_circle = evaluate(b3, CIRCLE, GameRules.FREESTYLE)
+    # cross to move: own open-three spots score positive; circle to move
+    # sees them as opponent threats and scores negative
+    assert (ev_cross & 8191) - 4000 > 0
+    assert (ev_circle & 8191) - 4000 < 0
