@@ -327,6 +327,13 @@ def play_games_resumable(
                     "sims": float(c[7]),
                 }
             )
+        if not bool(
+            np.asarray(carry.env.outcome == int(GameOutcome.UNKNOWN)).any()
+        ):
+            # every game finished: later chunks would search frozen
+            # positions (the reference's generators retire finished games
+            # immediately, GameGenerator.cpp game-over handling)
+            break
         if should_stop is not None and should_stop() and hi < scfg.max_moves:
             if snapshot_path is not None:
                 rec_all = jax.tree_util.tree_map(
