@@ -367,6 +367,170 @@ def parse_game(buf: memoryview, off: int, fmt: int, hw: int) -> tuple[GameData, 
     return GameData(records, moves, outcome, rows, cols), off
 
 
+# ---------------------------------------------------------------------------
+# Optional native codec (native/agdata.cpp via ctypes): the C++ runtime
+# counterpart of the reference's dataset storage.  This Python module stays
+# the executable SPEC — tests assert the native writer is byte-identical
+# and the native parser value-identical (tests/test_formats.py).
+# ---------------------------------------------------------------------------
+
+_NATIVE = None
+
+
+def _native_lib():
+    global _NATIVE
+    if _NATIVE is not None:
+        return _NATIVE or None
+    import ctypes
+    import os
+
+    so = os.path.join(
+        os.path.dirname(__file__), "..", "..", "native", "libagdata.so"
+    )
+    if not os.path.exists(so):
+        _NATIVE = False
+        return None
+    lib = ctypes.CDLL(so)
+    c = ctypes
+    lib.ag_serialize_game.restype = c.c_int
+    lib.ag_serialize_game.argtypes = [
+        c.c_int, c.c_int, c.c_int, c.c_int,
+        c.POINTER(c.c_int32), c.POINTER(c.c_float), c.POINTER(c.c_float),
+        c.POINTER(c.c_float), c.POINTER(c.c_uint16), c.POINTER(c.c_uint16),
+        c.POINTER(c.c_uint16), c.POINTER(c.c_uint16),
+        c.POINTER(c.c_uint16), c.c_int, c.c_int, c.c_int, c.c_int,
+        c.POINTER(c.POINTER(c.c_uint8)), c.POINTER(c.c_int64),
+    ]
+    lib.ag_parse_game.restype = c.c_int64
+    lib.ag_parse_game.argtypes = [
+        c.c_int, c.c_char_p, c.c_int64, c.c_int64, c.c_int,
+        c.POINTER(c.c_int32),
+        c.POINTER(c.POINTER(c.c_int32)), c.POINTER(c.POINTER(c.c_float)),
+        c.POINTER(c.POINTER(c.c_float)), c.POINTER(c.POINTER(c.c_float)),
+        c.POINTER(c.POINTER(c.c_uint16)), c.POINTER(c.POINTER(c.c_uint16)),
+        c.POINTER(c.POINTER(c.c_uint16)), c.POINTER(c.POINTER(c.c_uint16)),
+        c.POINTER(c.POINTER(c.c_uint16)), c.POINTER(c.c_int32),
+        c.POINTER(c.c_int32), c.POINTER(c.c_int32), c.POINTER(c.c_int32),
+    ]
+    lib.ag_free.restype = None
+    lib.ag_free.argtypes = [c.c_void_p]
+    _NATIVE = lib
+    return lib
+
+
+def _serialize_game_native(game: GameData, fmt: int, out: bytearray) -> bool:
+    lib = _native_lib()
+    if lib is None:
+        return False
+    import ctypes
+
+    n = len(game.records)
+    hw = len(game.records[0].visit_count) if n else game.rows * game.cols
+    cols = game.cols
+
+    def cat(field, dtype):
+        if n == 0:
+            return np.zeros(0, dtype)
+        return np.ascontiguousarray(
+            np.stack([np.asarray(getattr(r, field), dtype) for r in game.records])
+        ).reshape(-1)
+
+    visit = cat("visit_count", np.int32)
+    policy = cat("policy_prior", np.float32)
+    win = cat("win_rate", np.float32)
+    draw = cat("draw_rate", np.float32)
+    scores = cat("action_scores", np.uint16)
+    minimax = np.asarray([r.minimax_score for r in game.records], np.uint16)
+    move_no = np.asarray([r.move_number for r in game.records], np.uint16)
+    flags = np.asarray([r.flags for r in game.records], np.uint16)
+    moves = np.asarray(game.moves, np.uint16)
+
+    p8 = ctypes.POINTER(ctypes.c_uint8)
+    buf = p8()
+    blen = ctypes.c_int64()
+
+    def ptr(a, ct):
+        return a.ctypes.data_as(ctypes.POINTER(ct))
+
+    rc = lib.ag_serialize_game(
+        fmt, n, hw, cols,
+        ptr(visit, ctypes.c_int32), ptr(policy, ctypes.c_float),
+        ptr(win, ctypes.c_float), ptr(draw, ctypes.c_float),
+        ptr(scores, ctypes.c_uint16), ptr(minimax, ctypes.c_uint16),
+        ptr(move_no, ctypes.c_uint16), ptr(flags, ctypes.c_uint16),
+        ptr(moves, ctypes.c_uint16), len(game.moves),
+        int(game.outcome), game.rows, game.cols,
+        ctypes.byref(buf), ctypes.byref(blen),
+    )
+    if rc != 0:
+        return False
+    out += ctypes.string_at(buf, blen.value)
+    lib.ag_free(buf)
+    return True
+
+
+def parse_game_native(buf, off: int, fmt: int, hw: int):
+    """Native parse_game; returns (GameData, new_off) or None if the
+    library is unavailable."""
+    lib = _native_lib()
+    if lib is None:
+        return None
+    import ctypes
+
+    raw = bytes(buf)
+    n_rec = ctypes.c_int32()
+    n_mv = ctypes.c_int32()
+    outc = ctypes.c_int32()
+    rows_o = ctypes.c_int32()
+    cols_o = ctypes.c_int32()
+    pi32 = ctypes.POINTER(ctypes.c_int32)
+    pf32 = ctypes.POINTER(ctypes.c_float)
+    pu16 = ctypes.POINTER(ctypes.c_uint16)
+    visit, policy, win, draw = pi32(), pf32(), pf32(), pf32()
+    scores, minimax, move_no, flags, moves = pu16(), pu16(), pu16(), pu16(), pu16()
+    new_off = lib.ag_parse_game(
+        fmt, raw, len(raw), off, hw,
+        ctypes.byref(n_rec),
+        ctypes.byref(visit), ctypes.byref(policy), ctypes.byref(win),
+        ctypes.byref(draw), ctypes.byref(scores), ctypes.byref(minimax),
+        ctypes.byref(move_no), ctypes.byref(flags),
+        ctypes.byref(moves), ctypes.byref(n_mv),
+        ctypes.byref(outc), ctypes.byref(rows_o), ctypes.byref(cols_o),
+    )
+    if new_off < 0:
+        raise ValueError(f"native parse_game failed: {new_off}")
+    n = n_rec.value
+
+    def arr(p, count, dtype):
+        return np.ctypeslib.as_array(p, shape=(count,)).astype(dtype, copy=True)
+
+    visit_a = arr(visit, n * hw, np.int32).reshape(n, hw)
+    policy_a = arr(policy, n * hw, np.float32).reshape(n, hw)
+    win_a = arr(win, n * hw, np.float32).reshape(n, hw)
+    draw_a = arr(draw, n * hw, np.float32).reshape(n, hw)
+    scores_a = arr(scores, n * hw, np.uint16).reshape(n, hw)
+    minimax_a = arr(minimax, n, np.uint16)
+    move_no_a = arr(move_no, n, np.uint16)
+    flags_a = arr(flags, n, np.uint16)
+    moves_a = arr(moves, max(1, n_mv.value), np.uint16)[: n_mv.value]
+    for p in (visit, policy, win, draw, scores, minimax, move_no, flags, moves):
+        lib.ag_free(p)
+    records = [
+        SearchRecord(
+            visit_count=visit_a[i], policy_prior=policy_a[i],
+            win_rate=win_a[i], draw_rate=draw_a[i],
+            action_scores=scores_a[i], minimax_score=int(minimax_a[i]),
+            move_number=int(move_no_a[i]), flags=int(flags_a[i]),
+        )
+        for i in range(n)
+    ]
+    game = GameData(
+        records, [int(m) for m in moves_a], int(outc.value),
+        int(rows_o.value), int(cols_o.value),
+    )
+    return game, int(new_off)
+
+
 def save_buffer(
     path: str,
     games: list,
@@ -375,14 +539,17 @@ def save_buffer(
     rules: str = "FREESTYLE",
     fmt: int = 201,
     compress: bool = True,
+    use_native: bool = True,
 ) -> None:
     """Write a reference-format buffer file (GameDataBuffer::save,
-    GameDataBuffer.cpp:97-112)."""
+    GameDataBuffer.cpp:97-112).  Uses the native codec when built
+    (byte-identical to the Python path by test)."""
     blob = bytearray()
     offsets = []
     for g in games:
         offsets.append(len(blob))
-        _serialize_game(g, fmt, blob)
+        if not (use_native and _serialize_game_native(g, fmt, blob)):
+            _serialize_game(g, fmt, blob)
     header = {
         "format": fmt,
         "config": {
@@ -426,7 +593,12 @@ def load_buffer(path: str) -> tuple[dict, list]:
     cfg = header["config"]
     hw = int(cfg["rows"]) * int(cfg["cols"])
     games = []
+    native = _native_lib() is not None
+    raw_blob = bytes(blob) if native else None
     for off in header["offsets"]:
-        game, _ = parse_game(blob, int(off), fmt, hw)
+        if native:
+            game, _ = parse_game_native(raw_blob, int(off), fmt, hw)
+        else:
+            game, _ = parse_game(blob, int(off), fmt, hw)
         games.append(game)
     return header, games

@@ -170,3 +170,83 @@ def test_v201_byte_parity_vs_reference_oracle():
     proc.stdin.write("quit\n")
     proc.stdin.flush()
     proc.wait(timeout=10)
+
+
+def _random_games(rng, n_games, rows, cols):
+    from alphagomoku_tpu.data import formats as F
+
+    hw = rows * cols
+    games = []
+    for _ in range(n_games):
+        n_rec = int(rng.integers(1, 6))
+        records = []
+        for m in range(n_rec):
+            visit = np.zeros(hw, np.int32)
+            hot = rng.choice(hw, size=int(rng.integers(1, 12)), replace=False)
+            visit[hot] = rng.integers(1, 900, size=len(hot))
+            policy = np.zeros(hw, np.float32)
+            policy[hot] = rng.random(len(hot)).astype(np.float32)
+            win = np.zeros(hw, np.float32)
+            draw = np.zeros(hw, np.float32)
+            win[hot] = rng.random(len(hot)).astype(np.float32)
+            draw[hot] = (rng.random(len(hot)) * 0.3).astype(np.float32)
+            scores = np.full(hw, F.score_u16(F.PV_UNKNOWN, 0), np.uint16)
+            if rng.random() < 0.5:
+                scores[hot[0]] = F.score_u16(F.PV_WIN, int(rng.integers(1, 30)))
+            records.append(F.SearchRecord(
+                visit_count=visit, policy_prior=policy, win_rate=win,
+                draw_rate=draw, action_scores=scores,
+                minimax_score=int(F.score_u16(F.PV_UNKNOWN, int(rng.integers(-900, 900)))),
+                move_number=m, flags=int(rng.integers(0, 4)),
+            ))
+        moves = [int(((c & 0xFF) << 8) | (r & 0xFF)) for r, c in
+                 zip(rng.integers(0, rows, n_rec), rng.integers(0, cols, n_rec))]
+        games.append(F.GameData(records, moves, int(rng.integers(0, 4)), rows, cols))
+    return games
+
+
+@pytest.mark.parametrize("fmt", [100, 200, 201])
+def test_native_codec_byte_identical(fmt):
+    """The C++ codec (native/agdata.cpp) must serialize BYTE-IDENTICALLY to
+    this module's Python writer and parse value-identically."""
+    from alphagomoku_tpu.data import formats as F
+
+    if F._native_lib() is None:
+        pytest.skip("native/libagdata.so not built")
+    rng = np.random.default_rng(13)
+    games = _random_games(rng, 6, 15, 15)
+    for g in games:
+        py = bytearray()
+        F._serialize_game(g, fmt, py)
+        nat = bytearray()
+        assert F._serialize_game_native(g, fmt, nat)
+        assert bytes(py) == bytes(nat), (fmt, len(py), len(nat))
+        # parse both ways, compare values
+        g_py, off_py = F.parse_game(memoryview(bytes(py)), 0, fmt, 225)
+        g_nat, off_nat = F.parse_game_native(bytes(py), 0, fmt, 225)
+        assert off_py == off_nat
+        assert g_py.moves == g_nat.moves
+        assert g_py.outcome == g_nat.outcome
+        for a, b in zip(g_py.records, g_nat.records):
+            np.testing.assert_array_equal(a.visit_count, b.visit_count)
+            np.testing.assert_allclose(a.policy_prior, b.policy_prior, rtol=1e-6)
+            np.testing.assert_allclose(a.win_rate, b.win_rate, rtol=1e-6)
+            np.testing.assert_allclose(a.draw_rate, b.draw_rate, rtol=1e-6)
+            np.testing.assert_array_equal(a.action_scores, b.action_scores)
+            assert a.minimax_score == b.minimax_score
+            assert a.move_number == b.move_number
+
+
+def test_native_buffer_roundtrip(tmp_path):
+    from alphagomoku_tpu.data import formats as F
+
+    if F._native_lib() is None:
+        pytest.skip("native/libagdata.so not built")
+    rng = np.random.default_rng(17)
+    games = _random_games(rng, 4, 9, 9)
+    p = str(tmp_path / "buf.bin")
+    F.save_buffer(p, games, 9, 9, fmt=201)
+    header, loaded = F.load_buffer(p)
+    assert len(loaded) == 4
+    for a, b in zip(games, loaded):
+        assert a.moves == b.moves and a.outcome == b.outcome
