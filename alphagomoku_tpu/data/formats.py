@@ -392,6 +392,18 @@ def _native_lib():
         return None
     lib = ctypes.CDLL(so)
     c = ctypes
+    # refuse a stale library: an old binary called through the current
+    # ctypes signatures is undefined behavior (advisor r4 finding)
+    _ABI = 2
+    try:
+        lib.ag_abi_version.restype = c.c_int
+        lib.ag_abi_version.argtypes = []
+        if lib.ag_abi_version() != _ABI:
+            _NATIVE = False
+            return None
+    except AttributeError:
+        _NATIVE = False
+        return None
     lib.ag_serialize_game.restype = c.c_int
     lib.ag_serialize_game.argtypes = [
         c.c_int, c.c_int, c.c_int, c.c_int,
@@ -597,7 +609,12 @@ def load_buffer(path: str) -> tuple[dict, list]:
     raw_blob = bytes(blob) if native else None
     for off in header["offsets"]:
         if native:
-            game, _ = parse_game_native(raw_blob, int(off), fmt, hw)
+            try:
+                game, _ = parse_game_native(raw_blob, int(off), fmt, hw)
+            except ValueError:
+                # fall back to the (equivalent-by-test) Python parser so a
+                # native rejection cannot lose an otherwise readable game
+                game, _ = parse_game(blob, int(off), fmt, hw)
         else:
             game, _ = parse_game(blob, int(off), fmt, hw)
         games.append(game)

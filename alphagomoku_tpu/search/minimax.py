@@ -201,14 +201,17 @@ def solve_ab(
             best = evaluate(board, sign, rules)
         return best, out
 
+    # deepening starts at 4, NOT 0: a depth-0 root always visits exactly one
+    # node (static-proven return or leaf evaluation), which would trip the
+    # no-new-nodes break before any recursion happened (advisor r4 finding)
     result, root_actions = MG.UNKNOWN, {}
-    for depth in range(0, max_depth + 1, 4):
+    for depth in range(4, max(max_depth, 4) + 1, 4):
         before = state["nodes"]
         result, root_actions = rec(int(stm), depth, MINUS_INF, PLUS_INF, True)
         if (
             MG.is_proven(result)
             or state["nodes"] >= node_budget
-            or state["nodes"] == before + 1  # no new nodes at this depth
+            or state["nodes"] == before + 1  # root-only: all actions static
         ):
             break
     return result, root_actions

@@ -33,6 +33,8 @@ _BODY = r"""
 import json, sys, time
 sys.path.insert(0, {cwd!r})
 import numpy as np
+from alphagomoku_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
 import jax
 import jax.numpy as jnp
 
@@ -128,6 +130,9 @@ def run_config(
     )
     env = dict(os.environ)
     env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
+    env.setdefault(
+        "JAX_COMPILATION_CACHE_DIR", os.path.join(os.getcwd(), ".jax_cache")
+    )
     out = subprocess.run(
         [sys.executable, "-c", code], env=env, timeout=2400,
         capture_output=True, text=True,
@@ -140,8 +145,16 @@ def run_config(
     )
 
 
+def _progress(name: str, result: dict) -> None:
+    """Emit each config's result AS IT COMPLETES (stdout, flushed) so a
+    driver timeout mid-run still leaves parseable evidence in the captured
+    tail.  The final combined JSON line is always printed last."""
+    print(f"CONFIG {name}: {json.dumps(result)}", flush=True)
+
+
 def main() -> None:
     flagship = run_config(blocks=6, filters=64, batch=1280)
+    _progress("flagship_6x64", flagship)
     extras: dict = {}
     # the strength configuration: the engine-default vct leaf solver on
     # every simulation batch, compacted to the threat-bearing leaves
@@ -152,6 +165,7 @@ def main() -> None:
         extras["strength"]["config"] = "leaf_solver=vct steps=16 cap=256"
     except Exception as exc:  # the headline must survive a secondary failure
         extras["strength"] = {"error": str(exc)[:200]}
+    _progress("strength", extras["strength"])
     # strength + the LOSS prover (complete-defense refutation on top of the
     # win solver -- the full engine configuration)
     try:
@@ -164,10 +178,12 @@ def main() -> None:
         )
     except Exception as exc:
         extras["strength_loss_prover"] = {"error": str(exc)[:200]}
+    _progress("strength_loss_prover", extras["strength_loss_prover"])
     try:
         extras["net_8x128"] = run_config(blocks=8, filters=128, batch=1280)
     except Exception as exc:
         extras["net_8x128"] = {"error": str(exc)[:200]}
+    _progress("net_8x128", extras["net_8x128"])
     print(
         json.dumps(
             {

@@ -255,6 +255,13 @@ int ag_serialize_game(
 
 // Parse one game starting at `off`.  Outputs are malloc'd; the caller
 // copies and frees each with ag_free.  Returns the new offset, or <0.
+//
+// Hardened against corrupted/truncated buffers (advisor r4 finding): the
+// on-disk record/move counts are validated against the remaining buffer
+// length BEFORE any allocation sized by them, every allocation is
+// NULL-checked, per-entry cell indices are bounds-checked against hw, and
+// every error path frees all outputs (the ctypes caller only frees on
+// success).
 int64_t ag_parse_game(
     int fmt, const uint8_t* buf, int64_t buf_len, int64_t off0, int hw,
     int32_t* n_records_out,
@@ -265,18 +272,37 @@ int64_t ag_parse_game(
     int32_t* outcome, int32_t* rows_out, int32_t* cols_out) {
     size_t off = static_cast<size_t>(off0);
     const size_t end = static_cast<size_t>(buf_len);
-    if (off + 4 > end) return -1;
+    *visit = nullptr; *policy = nullptr; *win = nullptr; *draw = nullptr;
+    *scores = nullptr; *minimax = nullptr; *move_number = nullptr;
+    *flags = nullptr; *moves = nullptr;
+    auto fail = [&](int64_t code) -> int64_t {
+        std::free(*visit);  std::free(*policy); std::free(*win);
+        std::free(*draw);   std::free(*scores); std::free(*minimax);
+        std::free(*move_number); std::free(*flags); std::free(*moves);
+        *visit = nullptr; *policy = nullptr; *win = nullptr; *draw = nullptr;
+        *scores = nullptr; *minimax = nullptr; *move_number = nullptr;
+        *flags = nullptr; *moves = nullptr;
+        return code;
+    };
+    if (off + 4 > end || hw <= 0) return fail(-1);
     const uint32_t n = get_u32(buf, off);
     const int cols_guess = static_cast<int>(std::lround(std::sqrt(hw)));
+    // every record needs at least its fixed header (v201: 12+4, v200:
+    // 10+4, v100: 4+4 bytes) — bound n by the bytes actually present
+    const size_t min_rec = (fmt == 201) ? 16 : (fmt == 200) ? 14 : 8;
+    if (static_cast<size_t>(n) > (end - off) / min_rec) return fail(-1);
 
-    *visit = static_cast<int32_t*>(std::calloc(static_cast<size_t>(n) * hw, 4));
-    *policy = static_cast<float*>(std::calloc(static_cast<size_t>(n) * hw, 4));
-    *win = static_cast<float*>(std::calloc(static_cast<size_t>(n) * hw, 4));
-    *draw = static_cast<float*>(std::calloc(static_cast<size_t>(n) * hw, 4));
-    *scores = static_cast<uint16_t*>(std::malloc(static_cast<size_t>(n) * hw * 2));
-    *minimax = static_cast<uint16_t*>(std::malloc(static_cast<size_t>(n) * 2));
-    *move_number = static_cast<uint16_t*>(std::malloc(static_cast<size_t>(n) * 2));
-    *flags = static_cast<uint16_t*>(std::calloc(n, 2));
+    *visit = static_cast<int32_t*>(std::calloc(static_cast<size_t>(n) * hw + 1, 4));
+    *policy = static_cast<float*>(std::calloc(static_cast<size_t>(n) * hw + 1, 4));
+    *win = static_cast<float*>(std::calloc(static_cast<size_t>(n) * hw + 1, 4));
+    *draw = static_cast<float*>(std::calloc(static_cast<size_t>(n) * hw + 1, 4));
+    *scores = static_cast<uint16_t*>(std::malloc(static_cast<size_t>(n) * hw * 2 + 2));
+    *minimax = static_cast<uint16_t*>(std::malloc(static_cast<size_t>(n) * 2 + 2));
+    *move_number = static_cast<uint16_t*>(std::malloc(static_cast<size_t>(n) * 2 + 2));
+    *flags = static_cast<uint16_t*>(std::calloc(n + 1, 2));
+    if (!*visit || !*policy || !*win || !*draw || !*scores || !*minimax ||
+        !*move_number || !*flags)
+        return fail(-8);
     const uint16_t unk = static_cast<uint16_t>((PV_UNKNOWN << 13) | 4000);
     for (size_t i = 0; i < static_cast<size_t>(n) * hw; i++) (*scores)[i] = unk;
 
@@ -287,7 +313,7 @@ int64_t ag_parse_game(
         float* dr = *draw + static_cast<size_t>(rec) * hw;
         uint16_t* sc = *scores + static_cast<size_t>(rec) * hw;
         if (fmt == 201 || fmt == 200) {
-            if (off + (fmt == 201 ? 12u : 10u) + 4u > end) return -2;
+            if (off + (fmt == 201 ? 12u : 10u) + 4u > end) return fail(-2);
             const double value_scale = FP16.to_fp32(get_u16(buf, off));
             const double policy_scale = FP16.to_fp32(get_u16(buf, off));
             const double visit_scale = FP16.to_fp32(get_u16(buf, off));
@@ -295,10 +321,11 @@ int64_t ag_parse_game(
             (*move_number)[rec] = get_u16(buf, off);
             (*flags)[rec] = (fmt == 201) ? get_u16(buf, off) : 0;
             const uint32_t count = get_u32(buf, off);
-            if (off + 6ull * count > end) return -3;
+            if (off + 6ull * count > end) return fail(-3);
             int idx = 0;
             for (uint32_t k = 0; k < count; k++) {
                 idx += buf[off];
+                if (idx >= hw) return fail(-3);
                 vi[idx] = static_cast<int32_t>(
                     VISIT.to_fp32(buf[off + 1]) * visit_scale + 0.5);
                 po[idx] = static_cast<float>(
@@ -311,17 +338,18 @@ int64_t ag_parse_game(
                 off += 6;
             }
         } else if (fmt == 100) {
-            if (off + 8 > end) return -2;
+            if (off + 8 > end) return fail(-2);
             (*minimax)[rec] = get_u16(buf, off);
             (*move_number)[rec] = get_u16(buf, off);
             (*flags)[rec] = 0;
             const uint32_t count = get_u32(buf, off);
-            if (off + 12ull * count > end) return -3;
+            if (off + 12ull * count > end) return fail(-3);
             for (uint32_t k = 0; k < count; k++) {
                 const int r = buf[off];
                 const int c = buf[off + 1];
                 off += 2;
                 const int i = r * cols_guess + c;
+                if (i < 0 || i >= hw) return fail(-3);
                 vi[i] = get_u16(buf, off);
                 po[i] = static_cast<float>(get_u16(buf, off)) / 65535.0f;
                 sc[i] = get_u16(buf, off);
@@ -329,14 +357,20 @@ int64_t ag_parse_game(
                 dr[i] = static_cast<float>(get_u16(buf, off)) / 65535.0f;
             }
         } else {
-            return -4;
+            return fail(-4);
         }
     }
-    if (off + 4 > end) return -5;
+    if (off + 4 > end) return fail(-5);
     const uint32_t n_moves = get_u32(buf, off);
-    *moves = static_cast<uint16_t*>(std::malloc(n_moves * 2 + 2));
+    // validate the move count against the remaining bytes BEFORE allocating
+    if (static_cast<size_t>(n_moves) >
+        (end - off) / (fmt == 100 ? 8u : 2u))
+        return fail(-6);
+    *moves = static_cast<uint16_t*>(std::malloc(
+        static_cast<size_t>(n_moves) * 2 + 2));
+    if (!*moves) return fail(-8);
     if (fmt == 100) {
-        if (off + 8ull * n_moves > end) return -6;
+        if (off + 8ull * n_moves > end) return fail(-6);
         for (uint32_t k = 0; k < n_moves; k++) {
             off += 4;  // int32 sign (implicit from parity)
             const int row = buf[off];
@@ -345,10 +379,10 @@ int64_t ag_parse_game(
             (*moves)[k] = static_cast<uint16_t>((col << 8) | row);
         }
     } else {
-        if (off + 2ull * n_moves > end) return -6;
+        if (off + 2ull * n_moves > end) return fail(-6);
         for (uint32_t k = 0; k < n_moves; k++) (*moves)[k] = get_u16(buf, off);
     }
-    if (off + 12 > end) return -7;
+    if (off + 12 > end) return fail(-7);
     *outcome = static_cast<int32_t>(get_u32(buf, off));
     *rows_out = static_cast<int32_t>(get_u32(buf, off));
     *cols_out = static_cast<int32_t>(get_u32(buf, off));
@@ -358,5 +392,10 @@ int64_t ag_parse_game(
 }
 
 void ag_free(void* p) { std::free(p); }
+
+// ABI stamp: data/formats.py refuses a stale libagdata.so whose version
+// does not match (advisor r4 finding — calling an old binary through new
+// ctypes signatures is undefined behavior).  Bump when signatures change.
+int ag_abi_version() { return 2; }
 
 }  // extern "C"

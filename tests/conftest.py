@@ -19,3 +19,7 @@ os.environ["JAX_PLATFORMS"] = "cpu"
 import jax
 
 jax.config.update("jax_platforms", "cpu")
+
+from alphagomoku_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()

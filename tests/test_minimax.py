@@ -102,3 +102,34 @@ def test_alpha_beta_iterative_deepening():
     # sees them as opponent threats and scores negative
     assert (ev_cross & 8191) - 4000 > 0
     assert (ev_circle & 8191) - 4000 < 0
+
+
+def test_deepening_proves_forcing_four_ladder():
+    """A win reachable only through RECURSION: the root has no statically
+    scored win (no four, no fork) — the gain appears after a forced block.
+    (7,7) makes a four (forced block at (7,8)) and only a HALF-open diag
+    three; the follow-up (8,8) then makes the diag four plus an open three
+    on row 8 — a 4x3 fork two forcing plies deep.  The advisor's r4 finding
+    was that solve_ab's deepening loop broke out at depth 0 and could never
+    prove such positions; this pins the fix for both solvers."""
+    from alphagomoku_tpu.search.minimax import solve, solve_ab
+
+    b = np.zeros((H, W), np.int8)
+    b[7, 4:7] = CROSS
+    b[7, 3] = CIRCLE                              # half-open three, row 7
+    b[5, 5] = b[6, 6] = CROSS
+    b[4, 4] = CIRCLE                              # diag blocked far end
+    b[8, 10] = b[8, 11] = CROSS                   # row-8 broken-three stuff
+    for rc in [(0, 0), (0, 14), (14, 0), (14, 14), (0, 7)]:
+        b[rc] = CIRCLE
+
+    # root is NOT statically proven (would defeat the purpose of the test)
+    acts, s0 = MG.generate(b, CROSS, GameRules.FREESTYLE, mode="optimal")
+    assert not MG.is_proven(s0), hex(s0)
+    assert not MG.is_win(acts.moves[(7, 7)])
+
+    s, _ = solve(b, CROSS, GameRules.FREESTYLE, depth=6)
+    assert MG.is_win(s), hex(s)
+    sab, root = solve_ab(b, CROSS, GameRules.FREESTYLE, max_depth=8)
+    assert MG.is_win(sab), hex(sab)
+    assert MG.is_win(root[(7, 7)])

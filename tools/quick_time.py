@@ -14,6 +14,8 @@ import sys
 _BODY = r"""
 import json, time, sys
 sys.path.insert(0, {cwd!r})
+from alphagomoku_tpu.utils.compile_cache import enable_persistent_cache
+enable_persistent_cache()
 import numpy as np, jax, jax.numpy as jnp
 from alphagomoku_tpu.game.types import GameRules, CROSS, CIRCLE
 from alphagomoku_tpu.game import vectorized as V

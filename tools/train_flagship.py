@@ -24,6 +24,10 @@ import time
 
 sys.path.insert(0, os.path.join(os.path.dirname(__file__), ".."))
 
+from alphagomoku_tpu.utils.compile_cache import enable_persistent_cache
+
+enable_persistent_cache()
+
 
 def main() -> None:
     ap = argparse.ArgumentParser()
