@@ -83,4 +83,7 @@ def anchor_opponent():
         raw_input=True,
         mcfg=ANCHOR_MCFG,
         name=ANCHOR_VERSION,
+        # uniform value head: cannot adjudicate truncated games — such
+        # pairs are excluded from the score instead of scoring free draws
+        calibrated_value=False,
     )

@@ -53,6 +53,12 @@ class Opponent(NamedTuple):
     raw_input: bool = True
     mcfg: mcts.MCTSConfig | None = None
     name: str = ""
+    # False for opponents without a calibrated value head (e.g. the anchor's
+    # uniform value): agree-or-draw adjudication would be vacuous (its
+    # cross-expectation is always 0.5, so every truncated game scores 0.5,
+    # compressing the rating toward 0 — advisor r4 finding); such blocks
+    # EXCLUDE truncated pairs from the score instead
+    calibrated_value: bool = True
 
 
 def random_openings(
@@ -76,11 +82,16 @@ def random_openings(
 
 
 def _score_pairs(
-    outcomes: np.ndarray, g: int, adjudicated: np.ndarray | None = None
+    outcomes: np.ndarray,
+    g: int,
+    adjudicated: np.ndarray | None = None,
+    exclude: np.ndarray | None = None,
 ) -> tuple[np.ndarray, float]:
     """Pentanomial pair scores for A over [2G] outcomes (game i: A=cross,
     game G+i: A=circle).  `adjudicated` [2G] optionally replaces UNKNOWN
-    outcomes (truncation adjudication)."""
+    outcomes (truncation adjudication); `exclude` [2G] drops the whole
+    pair from the score when either of its games is flagged (used when the
+    opponent cannot adjudicate)."""
 
     def points(outcome: int, a_sign: int) -> int:
         """A's points in one game (reference: GSPRT.cpp get_points)."""
@@ -95,11 +106,15 @@ def _score_pairs(
         eff[unk] = adjudicated[unk]
     penta = np.zeros(5, np.int64)
     total = 0
+    pairs = 0
     for i in range(g):
+        if exclude is not None and (exclude[i] or exclude[g + i]):
+            continue
         p = points(int(eff[i]), CROSS) + points(int(eff[g + i]), CIRCLE)
         penta[p] += 1
         total += p
-    return penta, total / (4.0 * g)
+        pairs += 1
+    return penta, (total / (4.0 * pairs)) if pairs else 0.5
 
 
 def _expectation_cross(
@@ -241,6 +256,8 @@ def play_multi_match(
         # each opponent adjudicates its own block with its own net
         adjudicated = np.full(outcomes.shape, int(GameOutcome.DRAW), np.int8)
         for k, opp in enumerate(opponents):
+            if not opp.calibrated_value:
+                continue  # block scored with truncated pairs excluded
             blk = slice(2 * k * g, 2 * (k + 1) * g)
             exp_b = _expectation_cross(
                 opp.net_apply, opp.variables, tables,
@@ -251,9 +268,11 @@ def play_multi_match(
     results = []
     for k in range(k_opp):
         blk = slice(2 * k * g, 2 * (k + 1) * g)
+        calibrated = opponents[k].calibrated_value
         penta, score = _score_pairs(
             outcomes[blk], g,
-            None if adjudicated is None else adjudicated[blk],
+            None if (adjudicated is None or not calibrated) else adjudicated[blk],
+            exclude=None if (adjudicated is None or calibrated) else unfinished[blk],
         )
         results.append(
             MatchResult(

@@ -672,6 +672,44 @@ def finish_loss(prep: LossPrepared, cwin: jax.Array, cdist: jax.Array) -> LossRe
     return LossResult(loss=loss, distance=distance.astype(jnp.int32))
 
 
+def _attacker_move_plane(
+    tables: V.RuleTables, board: jax.Array, stm: jax.Array
+) -> jax.Array:
+    """[B, HW] weighted candidate plane for the side TO MOVE acting as the
+    attacker in the loss recursion: fork-4x3 makers (8), win-in-3 makers
+    (4), four makers (2) — the THREATS-mode initiative moves of the
+    reference's recursive_solve (MoveGenerator.cpp THREATS stages).
+    Completeness is NOT required here (this is the existential side of the
+    fail-low: one working attacker move suffices); a black attacker's
+    maybe-forbidden cells are dropped so every candidate is a legal move."""
+    board = jnp.asarray(board)
+    stm = jnp.asarray(stm)
+    bsz, h, w = board.shape
+    rules = GameRules(tables.rules)
+    renju = rules == GameRules.RENJU
+    stm_is_circle = stm == CIRCLE
+    pt_cross, pt_circle = L.classify(board, rules, bitwise.THREAT_KINDS)
+    my_pts = jnp.where(stm_is_circle[:, None, None, None], pt_circle, pt_cross)
+    empty = board == V.NONE
+    mine = L.actor_planes(my_pts, empty, (~stm_is_circle)[:, None, None], renju)
+    my_tt = V.threat_type(
+        tables, my_pts,
+        jnp.broadcast_to(stm_is_circle[:, None, None], (bsz, h, w)),
+    )
+    fork43 = (my_tt == T.TT_FORK_4x3) & empty
+    win3 = mine["win3"]
+    four = mine["four"]
+    if renju:
+        legal = ~mine["maybe_forb"]
+        fork43, win3, four = fork43 & legal, win3 & legal, four & legal
+    weight = (
+        8 * fork43.astype(jnp.int32)
+        + 4 * win3.astype(jnp.int32)
+        + 2 * four.astype(jnp.int32)
+    ) * empty.astype(jnp.int32)
+    return weight.reshape(bsz, h * w)
+
+
 def solve_loss(
     tables: V.RuleTables,
     board: jax.Array,
@@ -680,10 +718,26 @@ def solve_loss(
     max_depth: int = 8,
     max_steps: int = 384,
     max_threes: int = 2,
+    levels: int = 1,
+    max_att_moves: int = 4,
 ) -> LossResult:
     """prepare_loss + attacker VCT on the option children + finish_loss
     (one call for standalone use; the MCTS leaf solver instead CONCATENATES
-    the prepared children into its win-solve lockstep batch)."""
+    the prepared children into its win-solve lockstep batch).
+
+    `levels` > 1 adds the reference's arbitrary-depth fail-low recursion
+    (AlphaBetaSearch::recursive_solve — a node is lost when EVERY move of a
+    complete defensive list fails low, at any reached depth,
+    AlphaBetaSearch.cpp:91-135) in batched form: a defender option the
+    direct VCT could NOT refute is re-attacked by expanding up to
+    `max_att_moves` attacker initiative moves (fork/win3/four makers) and
+    recursing into `solve_loss(levels - 1)` on each resulting position —
+    the option is refuted iff SOME attacker move leaves the defender in a
+    proven loss.  Defender option sets stay complete at every level
+    (prepare_loss), so soundness is preserved; the attacker side is
+    existential and needs no completeness.  Batch cost multiplies by
+    `max_options * max_att_moves` per extra level — use levels=2 for
+    analysis/goldens, keep the MCTS leaf prover at levels=1."""
     prep = prepare_loss(tables, board, stm, max_options)
     bsz = prep.valid.shape[0]
     M = prep.valid.shape[1]
@@ -691,6 +745,40 @@ def solve_loss(
         tables, prep.child_board, prep.child_stm,
         max_depth=max_depth, max_steps=max_steps, max_threes=max_threes,
     )
-    return finish_loss(
-        prep, sres.win.reshape(bsz, M), sres.distance.reshape(bsz, M)
-    )
+    cwin = sres.win.reshape(bsz, M)
+    cdist = sres.distance.reshape(bsz, M)
+    if levels > 1:
+        A = max_att_moves
+        cb, cs = prep.child_board, prep.child_stm  # [B*M, H, W], [B*M]
+        h, w = cb.shape[1], cb.shape[2]
+        hw = h * w
+        wplane = _attacker_move_plane(tables, cb, cs)  # [B*M, HW]
+        topv, topi = jax.lax.top_k(wplane, A)
+        cand_valid = topv > 0  # [B*M, A]
+        oh = (
+            topi[..., None] == jnp.arange(hw, dtype=jnp.int32)[None, None, :]
+        ).reshape(bsz * M, A, h, w)
+        gboard = jnp.where(
+            oh & cand_valid[..., None, None],
+            jnp.broadcast_to(cs[:, None, None, None], (bsz * M, A, h, w)),
+            cb[:, None],
+        ).reshape(bsz * M * A, h, w)
+        gstm = jnp.broadcast_to(
+            jnp.where(cs == CROSS, CIRCLE, CROSS).astype(jnp.int8)[:, None],
+            (bsz * M, A),
+        ).reshape(-1)
+        sub = solve_loss(
+            tables, gboard, gstm, max_options=max_options,
+            max_depth=max_depth, max_steps=max_steps, max_threes=max_threes,
+            levels=levels - 1, max_att_moves=max_att_moves,
+        )
+        gloss = sub.loss.reshape(bsz, M, A) & cand_valid.reshape(bsz, M, A)
+        gdist = sub.distance.reshape(bsz, M, A)
+        # the attacker picks the SHORTEST winning continuation; the child's
+        # mate distance adds the attacker's own move
+        d2 = jnp.where(gloss, gdist, jnp.int32(1 << 20)).min(-1) + 1
+        win2 = gloss.any(-1)
+        upd = ~cwin & win2
+        cdist = jnp.where(upd, d2, cdist)
+        cwin = cwin | win2
+    return finish_loss(prep, cwin, cdist)

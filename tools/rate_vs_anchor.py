@@ -30,7 +30,9 @@ def main() -> None:
     ap.add_argument("--sims", type=int, default=200)
     ap.add_argument("--size", type=int, default=15)
     ap.add_argument("--rules", default="FREESTYLE")
-    ap.add_argument("--max-moves", type=int, default=120)
+    # default 0 = play to the rule outcome (no truncation at all — the
+    # anchor's uniform value cannot adjudicate truncated games)
+    ap.add_argument("--max-moves", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args()
 
@@ -68,7 +70,8 @@ def main() -> None:
     t0 = time.time()
     results = M.play_multi_match(
         apply, variables, [anchor_opponent()], tables,
-        ANCHOR_MCFG, args.sims, openings, max_moves=args.max_moves,
+        ANCHOR_MCFG, args.sims, openings,
+        max_moves=(args.max_moves if args.max_moves > 0 else None),
         raw_input_a=net.cfg.raw_input,
     )
     res = results[0]
