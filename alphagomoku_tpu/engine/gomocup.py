@@ -327,6 +327,10 @@ class ExtendedGomocupProtocol(GomocupProtocol):
             ("info auto_pondering", "auto_pondering"),
             ("info protocol_lag", "protocol_lag"),
             ("info thread_num", "threads"),
+            # extension: the reference loads the swap2 book only from
+            # config.json (EngineSettings.cpp:75); exposing it over INFO
+            # lets tournament managers configure it at runtime too
+            ("info swap2_openings_file", "swap2_openings_file"),
         ):
             self.register_input(name, self._make_info_option(name, opt))
         self.register_input("play", self._in_play)

@@ -89,6 +89,11 @@ class ProgramManager:
             "network_renju": "",
             "network_caro5": "",
             "network_caro6": "",
+            # swap2 opening book: JSON list of 3-move rows, each move
+            # {"row", "col", "sign"} (reference: EngineSettings
+            # swap2_openings_file + load_opening_book,
+            # src/player/EngineSettings.cpp:29-50,75)
+            "swap2_openings_file": "",
         }
         self._arch = architecture
         self._blocks = blocks
@@ -139,6 +144,35 @@ class ProgramManager:
                 ("1", "true", "on"),
             )
         return self.engine
+
+    def _load_swap2_book(self) -> list[list[Move]]:
+        """Parse the swap2 opening book: a JSON list of 3-move rows, each
+        move {"row": int, "col": int, "sign": "CROSS"|"CIRCLE"} (reference:
+        load_opening_book, src/player/EngineSettings.cpp:29-50).  A missing
+        or unreadable file yields an empty book (the reference logs "No
+        swap2 opening book")."""
+        import json
+        import os
+
+        from ..game.types import CIRCLE
+
+        path = self.options.get("swap2_openings_file", "")
+        if not path or not os.path.exists(path):
+            return []
+        signs = {"CROSS": CROSS, "CIRCLE": CIRCLE, "X": CROSS, "O": CIRCLE}
+        try:
+            with open(path) as fh:
+                data = json.load(fh)
+            book = []
+            for row in data:
+                book.append([
+                    Move(row=int(m["row"]), col=int(m["col"]),
+                         sign=signs[str(m["sign"]).upper()])
+                    for m in row
+                ])
+            return book
+        except (OSError, ValueError, KeyError, TypeError):
+            return []
 
     def _set_option(self, name: str, value: str) -> None:
         old = self.options.get(name)
@@ -382,6 +416,42 @@ class ProgramManager:
             # (reference: Swap2Controller + BalancedSelector,
             # src/player/controllers/Swap2Controller.cpp:22-156)
             budget = self._time_budget_s()
+            if mode.startswith("swap2") and len(engine.moves) == 0:
+                # first player: place THREE opening stones from a random
+                # book row (reference: PUT_FIRST_3_STONES,
+                # Swap2Controller.cpp:48-60); with no book the reference
+                # errors — here a balanced-search fallback places a strong
+                # first stone and two balancing stones instead
+                book = self._load_swap2_book()
+                if book:
+                    import random
+
+                    row = book[random.randrange(len(book))]
+                    self.output_queue.push(Message(MessageType.BEST_MOVE, row))
+                    return
+                first = engine.search(budget / 3.0).best_move
+                engine.make_move(first)
+                second = engine.search(budget / 3.0, selector="balanced").best_move
+                engine.make_move(second)
+                third = engine.search(budget / 3.0, selector="balanced").best_move
+                self.output_queue.push(
+                    Message(MessageType.BEST_MOVE, [first, second, third])
+                )
+                return
+            if mode.startswith("swap2") and len(engine.moves) == 5:
+                # after the two balancing stones: swap when behind, play
+                # otherwise (reference: EVALUATE_5_STONES,
+                # Swap2Controller.cpp:142-155, threshold 0.5)
+                summary = engine.search(budget)
+                if summary.expectation < 0.5:
+                    self.output_queue.push(
+                        Message(MessageType.PLAIN_STRING, "SWAP")
+                    )
+                else:
+                    self.output_queue.push(
+                        Message(MessageType.BEST_MOVE, summary.best_move)
+                    )
+                return
             if mode.startswith("swap2") and len(engine.moves) == 3:
                 # 3-stone opening: swap / play one strong move / answer with
                 # TWO balancing stones (reference thresholds 1/3 and 2/3 on

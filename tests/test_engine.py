@@ -209,3 +209,88 @@ def test_solver_budget_tuner_brackets():
     for _ in range(200):
         t2.record(200.0 if t2.current == t2.lower.param_value else 10.0)
     assert t2.lower.param_value >= 32
+
+
+def test_swap2_first_player_book(manager, tmp_path):
+    """At 0 stones the first player places THREE book stones from a random
+    row of swap2_openings_file (reference: PUT_FIRST_3_STONES,
+    Swap2Controller.cpp:48-60; book format EngineSettings.cpp:29-50)."""
+    import json
+
+    book = [[
+        {"row": 7, "col": 7, "sign": "CROSS"},
+        {"row": 8, "col": 8, "sign": "CIRCLE"},
+        {"row": 9, "col": 7, "sign": "CROSS"},
+    ]]
+    path = tmp_path / "swap2_book.json"
+    path.write_text(json.dumps(book))
+    drive(manager, "START 15")
+    drive(manager, f"INFO swap2_openings_file {path}")
+    assert manager.options["swap2_openings_file"] == str(path)
+    out = drive(manager, "SWAP2BOARD", "DONE")
+    manager.options["swap2_openings_file"] = ""
+    answers = [l for l in out if "," in l and not l.startswith(("MESSAGE", "ERROR"))]
+    assert len(answers) == 1
+    assert answers[0].split() == ["7,7", "8,8", "9,7"], out
+
+
+def test_swap2_first_player_fallback(manager, monkeypatch):
+    """With no book configured, 0 stones falls back to a strong first stone
+    plus two balancing stones (three chained searches)."""
+    from alphagomoku_tpu.engine import engine as E
+    from alphagomoku_tpu.game.types import Move
+
+    manager.options["swap2_openings_file"] = ""
+    drive(manager, "START 15")
+
+    def fake_search(self, time_budget=None, selector="best", on_chunk=None,
+                    max_sims=None):
+        stm = self.sign_to_move()
+        taken = {(m.row, m.col) for m in self.moves}
+        cell = next((r, c) for r in range(self.rows)
+                    for c in range(self.cols) if (r, c) not in taken)
+        return E.SearchSummary(
+            best_move=Move(row=cell[0], col=cell[1], sign=stm),
+            expectation=0.5, win_rate=0.4, draw_rate=0.2,
+            simulations=1, nodes=1, time_used=0.0,
+            principal_variation=[], proven="",
+        )
+
+    monkeypatch.setattr(E.Engine, "search", fake_search)
+    out = drive(manager, "SWAP2BOARD", "DONE")
+    answers = [l for l in out if "," in l and not l.startswith(("MESSAGE", "ERROR"))]
+    assert len(answers) == 1
+    assert len(answers[0].split()) == 3, out
+
+
+def test_swap2_five_stones_swap_or_play(manager, monkeypatch):
+    """At 5 stones: expectation < 0.5 answers SWAP, otherwise ONE move
+    (reference: EVALUATE_5_STONES, Swap2Controller.cpp:142-155)."""
+    from alphagomoku_tpu.engine import engine as E
+    from alphagomoku_tpu.game.types import Move
+
+    for expectation, expect_swap in ((0.4, True), (0.6, False)):
+        drive(manager, "START 15")
+
+        def fake_search(self, time_budget=None, selector="best", on_chunk=None,
+                        max_sims=None, _e=expectation):
+            stm = self.sign_to_move()
+            taken = {(m.row, m.col) for m in self.moves}
+            cell = next((r, c) for r in range(self.rows)
+                        for c in range(self.cols) if (r, c) not in taken)
+            return E.SearchSummary(
+                best_move=Move(row=cell[0], col=cell[1], sign=stm),
+                expectation=_e, win_rate=_e, draw_rate=0.0,
+                simulations=1, nodes=1, time_used=0.0,
+                principal_variation=[], proven="",
+            )
+
+        monkeypatch.setattr(E.Engine, "search", fake_search)
+        out = drive(manager, "SWAP2BOARD", "7,7", "8,8", "9,7", "10,10",
+                    "11,11", "DONE")
+        if expect_swap:
+            assert "SWAP" in out, out
+        else:
+            moves = [l for l in out
+                     if "," in l and not l.startswith(("MESSAGE", "ERROR"))]
+            assert len(moves) == 1 and len(moves[0].split()) == 1, out
