@@ -434,11 +434,25 @@ class TrainingManager:
             template = teacher.init(jax.random.PRNGKey(0), x, train=False)
             with open(cfg.distill_from, "rb") as fh:
                 teacher_vars = serialization.from_bytes(template, fh.read())
-            step = jax.jit(
-                T.make_distill_step(
-                    self.net, teacher, self.tx, self.tables, self.train_cfg
-                )
+            raw_step = T.make_distill_step(
+                self.net, teacher, self.tx, self.tables, self.train_cfg
             )
+            if cfg.distributed:
+                # same DP treatment as the plain train step: replicated
+                # state + teacher, dp-sharded global batch, GSPMD gradient
+                # all-reduce (closes the r4 multi-host hard-fail)
+                from ..parallel import distributed as D, replicated
+
+                rep = replicated(self.mesh)
+                bs = D.batch_sharding(self.mesh)
+                step = jax.jit(
+                    raw_step,
+                    in_shardings=(rep, rep, bs, rep),
+                    out_shardings=(rep, rep),
+                )
+                teacher_vars = jax.device_put(teacher_vars, rep)
+            else:
+                step = jax.jit(raw_step)
             self._distill = (step, teacher_vars)
         return self._distill
 
@@ -447,8 +461,6 @@ class TrainingManager:
         TrainingManager.cpp:226-273)"""
         cfg = self.cfg
         history = []
-        if cfg.distributed and cfg.distill_from:
-            raise NotImplementedError("distillation in multi-host mode")
         distill = self._distill_setup() if cfg.distill_from else None
         if cfg.distributed:
             # DP learner over the global mesh: every host samples a local
@@ -471,7 +483,11 @@ class TrainingManager:
                 key = jax.random.fold_in(
                     base_key, self.metadata["learning_steps"] + i
                 )
-                self.state, parts = self._train_step(self.state, batch, key)
+                if distill is not None:
+                    step, teacher_vars = distill
+                    self.state, parts = step(self.state, teacher_vars, batch, key)
+                else:
+                    self.state, parts = self._train_step(self.state, batch, key)
                 history.append({k: float(v) for k, v in parts.items()})
         else:
             for batch_np in self.buffer.iter_batches(

@@ -102,6 +102,17 @@ int main()
 					Move(row, col, sign_of(s)));
 			std::cout << static_cast<int>(out) << "\n" << std::flush;
 		}
+		else if (cmd == "outcome_d")
+		{
+			// getOutcome with an explicit draw-after-N-moves horizon
+			// (reference: rules.cpp getOutcome numberOfMovesForDraw)
+			int row, col, draw_after;
+			std::string s;
+			ss >> row >> col >> s >> draw_after;
+			const GameOutcome out = getOutcome(rules, board,
+					Move(row, col, sign_of(s)), draw_after);
+			std::cout << static_cast<int>(out) << "\n" << std::flush;
+		}
 		else if (cmd == "forbidden")
 		{
 			int row, col;

@@ -122,6 +122,12 @@ cfg = ManagerConfig(
     balanced_openings=False,
     use_gating=True,
     gating_games=4,
+    # multi-opponent rating enabled (VERDICT r4 task 9: the old worker ran
+    # with evaluation off) — iteration 1 rates vs checkpoint 0 per host
+    use_evaluation=True,
+    eval_opponents=(-1,),
+    eval_games=4,
+    eval_in_parallel=False,
     leaf_solver="none",
     tree_reuse=False,
     distributed=True,
@@ -131,14 +137,37 @@ mgr = TrainingManager(cfg)
 metrics = mgr.run_iteration_rl(0)
 result["train_total"] = metrics.get("total")
 result["samples"] = metrics.get("samples")
+metrics1 = mgr.run_iteration_rl(1)
+result["train_total_1"] = metrics1.get("total")
+D.barrier("two_iterations_done")
+# evaluation runs on the coordinator only (the reference's single
+# EvaluationManager); after the barrier its rating.txt must be visible
+result["rated"] = os.path.exists(os.path.join(workdir, "rating.txt"))
 
-params_np = jax.device_get(mgr.state.params)
+# -- part 3: teacher -> student distillation over the global mesh -------------
+# (closed in r5: the r4 guard hard-failed `distillation in multi-host mode`)
+import dataclasses
+
+cfg_d = dataclasses.replace(
+    cfg,
+    distill_from=mgr.checkpoint_path(mgr.metadata["last_checkpoint"]),
+    use_gating=False,
+    use_evaluation=False,
+)
+mgr2 = TrainingManager(cfg_d)
+mgr2.generate_games(0)  # loads the existing host-sharded buffer from disk
+dmetrics = mgr2.train_iteration(2)
+result["distill_total"] = dmetrics.get("total")
+assert np.isfinite(result["distill_total"]), dmetrics
+D.barrier("distill_done")
+
+params_np = jax.device_get(mgr2.state.params)
 digest = hashlib.sha256()
 for leaf in jax.tree_util.tree_leaves(params_np):
     digest.update(np.ascontiguousarray(leaf).tobytes())
 result["param_digest"] = digest.hexdigest()
-result["last_checkpoint"] = mgr.metadata["last_checkpoint"]
-result["best_checkpoint"] = mgr.metadata["best_checkpoint"]
+result["last_checkpoint"] = mgr2.metadata["last_checkpoint"]
+result["best_checkpoint"] = mgr2.metadata["best_checkpoint"]
 
 with open(os.path.join(workdir, f"result_{pid}.json"), "w") as fh:
     json.dump(result, fh)

@@ -49,7 +49,7 @@ def test_two_process_distributed_training(tmp_path):
     outs = []
     for p in procs:
         try:
-            out, _ = p.communicate(timeout=900)
+            out, _ = p.communicate(timeout=1500)
         except subprocess.TimeoutExpired:
             for q in procs:
                 q.kill()
@@ -66,16 +66,20 @@ def test_two_process_distributed_training(tmp_path):
 
     # the fused global-mesh round produced the same replicated loss
     assert r0["rl_round_loss"] == pytest.approx(r1["rl_round_loss"])
-    # DP training kept the replicated state identical across hosts
+    # DP training (incl. the distillation phase) kept the replicated state
+    # identical across hosts
     assert r0["param_digest"] == r1["param_digest"]
-    assert r0["last_checkpoint"] == r1["last_checkpoint"] == 0
-    assert r0["best_checkpoint"] == r1["best_checkpoint"] == 0
+    assert r0["last_checkpoint"] == r1["last_checkpoint"] == 2
+    # multi-opponent rating ran on iteration 1 on both hosts
+    assert r0["rated"] and r1["rated"]
+    # the multi-host distillation step produced a finite identical loss
+    assert r0["distill_total"] == pytest.approx(r1["distill_total"])
 
-    # coordinator-only IO: exactly one checkpoint file + metadata written
+    # coordinator-only IO: checkpoint files + metadata written once
     assert os.path.exists(tmp_path / "checkpoint" / "network_0.msgpack")
     with open(tmp_path / "metadata.json") as fh:
         meta = json.load(fh)
-    assert meta["last_checkpoint"] == 0
+    assert meta["last_checkpoint"] == 2
 
     # host-sharded replay: each host persisted its OWN buffer shard
     assert os.path.exists(tmp_path / "train_buffer" / "buffer_0_h0.npz")

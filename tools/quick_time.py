@@ -28,7 +28,7 @@ net = create_network({arch!r}, blocks={blocks}, filters={filters})
 x = jnp.zeros((BATCH, H, W, net.cfg.input_planes), jnp.bfloat16)
 variables = net.init(jax.random.PRNGKey(0), x, train=False)
 def apply(v, planes): return net.apply(v, planes, train=False)
-cfg = mcts.MCTSConfig(max_nodes=SIMS + 8, max_edges=32, max_depth=16,
+cfg = mcts.MCTSConfig(max_nodes=SIMS + 8, max_edges=32, max_depth={max_depth},
                       leaf_batch={leaf_batch},
                       leaf_solver={solver!r}, leaf_solver_steps=16,
                       leaf_solver_cap={cap}, loss_prover={loss_prover},
@@ -68,6 +68,7 @@ def main() -> None:
     ap.add_argument("--batch", type=int, default=1280)
     ap.add_argument("--sims", type=int, default=100)
     ap.add_argument("--leaf-batch", type=int, default=1)
+    ap.add_argument("--max-depth", type=int, default=16)
     ap.add_argument("--loss-prover", action="store_true")
     ap.add_argument("--loss-cap", type=int, default=64)
     args = ap.parse_args()
@@ -75,6 +76,7 @@ def main() -> None:
         cwd=os.getcwd(), batch=args.batch, sims=args.sims, arch=args.arch,
         blocks=args.blocks, filters=args.filters, solver=args.solver,
         cap=args.cap, leaf_batch=args.leaf_batch, loss_prover=args.loss_prover, loss_cap=args.loss_cap,
+        max_depth=args.max_depth,
     )
     env = dict(os.environ)
     env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
