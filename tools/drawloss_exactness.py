@@ -86,8 +86,11 @@ def main() -> int:
             order = rng.permutation(h * w)
             for k, cell in enumerate(order[: rng.integers(15, 45)]):
                 r, c = int(cell // w), int(cell % w)
-                oracle.set_board(board)
+                # the reference convention: outcome is computed on the board
+                # INCLUDING the last move (Game.cpp:119 current_board after
+                # makeMove; numberOfMoves counts placed stones)
                 board[r, c] = sign
+                oracle.set_board(board)
                 cnt = k + 1
                 steps_board.append(board.copy())
                 steps_r.append(r)
@@ -188,13 +191,22 @@ def main() -> int:
                                 max_depth=12, node_budget=120000).win
             extra_checks += 1
             extra_fail += 0 if win else 1
-        # distance cross-check vs the host alpha-beta twin
+        # distance cross-check vs the host alpha-beta twin.  Both provers
+        # certify the LOSS; distances are PLAY-LINE lengths, not
+        # game-theoretic minima (the reference's alpha-beta has the same
+        # property — it breaks on the first win found).  The deepening ab
+        # twin yields near-minimal distances, the batched prover's child
+        # VCT may find a longer win line, so the invariant is: same
+        # verdict, same parity, batched >= ab.
         s_ab, _ = MM.solve_ab(boards[i], CROSS, GameRules.FREESTYLE,
                               max_depth=12, node_budget=200000)
         if (s_ab >> 13) == MG._PV_LOSS:
             ab_proven += 1
             ab_d = (s_ab & 8191) - 4000
-            ab_dist_match += 1 if ab_d == int(dist[i]) else 0
+            if ab_d == int(dist[i]):
+                ab_dist_match += 1
+            assert int(dist[i]) >= ab_d and (int(dist[i]) - ab_d) % 2 == 0, (
+                i, int(dist[i]), ab_d)
         else:
             ab_unproven += 1
 
@@ -203,7 +215,9 @@ def main() -> int:
         "option_checks": opt_checks, "option_failures": opt_fail,
         "sampled_defense_checks": extra_checks,
         "sampled_defense_failures": extra_fail,
-        "ab_twin_proven": ab_proven, "ab_twin_distance_matches": ab_dist_match,
+        "ab_twin_proven": ab_proven,
+        "ab_twin_distance_exact_matches": ab_dist_match,
+        "ab_twin_distance_upper_bound_ok": ab_proven,
         "ab_twin_unproven_within_budget": ab_unproven,
     }
     print(report["parts"]["loss"], flush=True)
