@@ -39,3 +39,29 @@ def test_score_scan_kernel_matches_reference(B, D, K, seed):
     ker_e, ker_ns = score_scan(*args, interpret=True)
     assert np.array_equal(np.asarray(ref_e), np.asarray(ker_e))
     assert np.array_equal(np.asarray(ref_ns), np.asarray(ker_ns))
+
+
+def test_fused_convnext_trunk_matches_flax():
+    """The Pallas fused-trunk forward (ops/convnext_fused.py) matches the
+    flax ConvNextPVQMraw apply to bf16 tolerance (interpret mode)."""
+    import numpy as np
+    import jax
+    import jax.numpy as jnp
+
+    from alphagomoku_tpu.models import create_network
+    from alphagomoku_tpu.ops.convnext_fused import make_fused_apply
+
+    net = create_network("ConvNextPVQMraw", blocks=2, filters=32)
+    rng = np.random.default_rng(1)
+    x = jnp.asarray(
+        rng.standard_normal((6, 15, 15, net.cfg.input_planes)).astype(np.float32)
+    )
+    v = net.init(jax.random.PRNGKey(0), x, train=False)
+    ref = net.apply(v, x.astype(jnp.bfloat16), train=False)
+    out = make_fused_apply(net, v, block_batch=4, interpret=True)(v, x)
+    for name in ("policy_logits", "value_logits", "q_logits",
+                 "moves_left_logits"):
+        a = np.asarray(getattr(ref, name), np.float32)
+        b = np.asarray(getattr(out, name), np.float32)
+        scale = max(1e-3, float(np.abs(a).max()))
+        assert np.abs(a - b).max() <= 0.05 * scale + 5e-3, name

@@ -27,7 +27,11 @@ tables = V.device_tables(GameRules.FREESTYLE)
 net = create_network({arch!r}, blocks={blocks}, filters={filters})
 x = jnp.zeros((BATCH, H, W, net.cfg.input_planes), jnp.bfloat16)
 variables = net.init(jax.random.PRNGKey(0), x, train=False)
-def apply(v, planes): return net.apply(v, planes, train=False)
+if {fused}:
+    from alphagomoku_tpu.ops.convnext_fused import make_fused_apply
+    apply = make_fused_apply(net, variables, block_batch={fused_bb})
+else:
+    def apply(v, planes): return net.apply(v, planes, train=False)
 cfg = mcts.MCTSConfig(max_nodes=SIMS + 8, max_edges=32, max_depth={max_depth},
                       leaf_batch={leaf_batch},
                       leaf_solver={solver!r}, leaf_solver_steps=16,
@@ -69,6 +73,8 @@ def main() -> None:
     ap.add_argument("--sims", type=int, default=100)
     ap.add_argument("--leaf-batch", type=int, default=1)
     ap.add_argument("--max-depth", type=int, default=16)
+    ap.add_argument("--fused", action="store_true")
+    ap.add_argument("--fused-bb", type=int, default=32)
     ap.add_argument("--loss-prover", action="store_true")
     ap.add_argument("--loss-cap", type=int, default=64)
     args = ap.parse_args()
@@ -76,7 +82,7 @@ def main() -> None:
         cwd=os.getcwd(), batch=args.batch, sims=args.sims, arch=args.arch,
         blocks=args.blocks, filters=args.filters, solver=args.solver,
         cap=args.cap, leaf_batch=args.leaf_batch, loss_prover=args.loss_prover, loss_cap=args.loss_cap,
-        max_depth=args.max_depth,
+        max_depth=args.max_depth, fused=args.fused, fused_bb=args.fused_bb,
     )
     env = dict(os.environ)
     env["PYTHONPATH"] = os.getcwd() + os.pathsep + env.get("PYTHONPATH", "")
