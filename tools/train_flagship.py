@@ -38,6 +38,11 @@ def main() -> None:
     ap.add_argument("--sims", type=int, default=400)
     ap.add_argument("--games", type=int, default=256)
     ap.add_argument("--batch", type=int, default=256)
+    # the axon remote-device tunnel can deadlock when the async evaluation
+    # thread and the main thread submit device work concurrently (observed
+    # twice in round 5, both times freezing the run for >25 min at ~0 CPU);
+    # --serial-eval runs the rating matches synchronously instead
+    ap.add_argument("--serial-eval", action="store_true")
     args = ap.parse_args()
 
     from alphagomoku_tpu.game.types import GameRules
@@ -62,7 +67,7 @@ def main() -> None:
         use_evaluation=True,
         eval_opponents=(-1, -2, -4),
         eval_games=32,
-        eval_in_parallel=True,
+        eval_in_parallel=not args.serial_eval,
         # engine defaults: VCT leaf solver, compacted; tree reuse
         leaf_solver="vct",
         leaf_solver_steps=16,
