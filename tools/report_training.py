@@ -25,8 +25,9 @@ def main() -> None:
     if os.path.exists(log):
         rows = [json.loads(l) for l in open(log)]
         print(f"iterations: {len(rows)}")
-        keys = [k for k in ("total", "policy", "value", "samples", "seconds",
-                            "gating_elo", "gated") if rows and k in rows[0]]
+        keys = [k for k in ("total", "policy", "value", "valid_top1_accuracy",
+                            "samples", "seconds", "score", "elo", "promoted")
+                if rows and k in rows[0]]
         print("it  " + "  ".join(f"{k:>10}" for k in keys))
         for r in rows:
             print(f"{r['iteration']:>3} " + "  ".join(
@@ -40,7 +41,7 @@ def main() -> None:
         for l in lines[:2] + (["..."] if len(lines) > 4 else []) + lines[-2:]:
             print(" ", l[:160])
 
-    gate = os.path.join(wd, "gating_log.txt")
+    gate = os.path.join(wd, "gating.txt")
     if os.path.exists(gate):
         print("\ngating ladder:")
         for l in open(gate):
