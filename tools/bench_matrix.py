@@ -25,24 +25,30 @@ def bench_config(rules: GameRules, size: int, batch: int = 1024, sims: int = 200
     x = jnp.zeros((batch, size, size, net.cfg.input_planes), jnp.bfloat16)
     variables = net.init(jax.random.PRNGKey(0), x, train=False)
     apply = lambda v, p: net.apply(v, p, train=False)
-    rng = np.random.default_rng(0)
-    boards = np.zeros((batch, size, size), np.int8)
-    for b in range(batch):
-        n = rng.integers(2, 8)
-        cells = rng.choice(size * size, size=n, replace=False)
-        boards[b].flat[cells] = np.where(np.arange(n) % 2 == 0, CROSS, CIRCLE)
-    boards = jnp.asarray(boards)
+    def mkboards(seed):
+        # DISTINCT inputs per timed call: the remote device client can
+        # return stale results for identical repeated executions, which
+        # reads as absurd throughput (the quick_time.py discipline)
+        r = np.random.default_rng(seed)
+        boards = np.zeros((batch, size, size), np.int8)
+        for b in range(batch):
+            n = r.integers(2, 8)
+            cells = r.choice(size * size, size=n, replace=False)
+            boards[b].flat[cells] = np.where(np.arange(n) % 2 == 0, CROSS, CIRCLE)
+        return jnp.asarray(boards)
+
     stm = jnp.full((batch,), CROSS, jnp.int8)
     cfg = mcts.MCTSConfig(max_nodes=sims + 8, max_edges=32, max_depth=24)
     f = jax.jit(
         lambda v, b, s: mcts.run_search(apply, v, tables, cfg, b, s, sims)
     )
-    st = f(variables, boards, stm)
+    st = f(variables, mkboards(0), stm)
     jax.block_until_ready(st.tree.node_visits)
     t0 = time.perf_counter()
-    st = f(variables, boards, stm)
-    jax.block_until_ready(st.tree.node_visits)
-    dt = time.perf_counter() - t0
+    for i in (1, 2):
+        st = f(variables, mkboards(i), stm)
+        jax.block_until_ready(st.tree.node_visits)
+    dt = (time.perf_counter() - t0) / 2
     print(
         json.dumps(
             {
