@@ -29,6 +29,17 @@ def _check_backend() -> str:
     return f"devices: {devs}"
 
 
+def _pin_cpu() -> None:
+    """Isolated numeric checks run on the CPU backend: the parent process
+    owns the (possibly exclusive, tunneled) accelerator client, so a child
+    grabbing the same device can block; CPU still exercises the full code
+    path.  jax.config must be set (the env var loses to a preregistered
+    TPU plugin)."""
+    import jax
+
+    jax.config.update("jax_platforms", "cpu")
+
+
 def _check_pattern_tables() -> str:
     import hashlib
 
@@ -60,6 +71,7 @@ def _check_rules() -> str:
 
 
 def _check_network() -> str:
+    _pin_cpu()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -76,6 +88,7 @@ def _check_network() -> str:
 
 
 def _check_search() -> str:
+    _pin_cpu()
     import jax
     import jax.numpy as jnp
     import numpy as np
@@ -123,11 +136,26 @@ def _run_in_subprocess(fn: Callable[[], str], queue) -> None:
 
 
 def run_selfcheck(isolate: bool = True, timeout: float = 300.0) -> bool:
-    """Run every check; True if all pass.  isolate=True forks a subprocess
-    per check (reference behavior: fork + pipe capture)."""
-    ctx = mp.get_context("fork")
+    """Run every check; True if all pass.  isolate=True runs each check in
+    its own SPAWNED subprocess with captured output (the re-design of the
+    reference's fork+pipe isolation, selfcheck.cpp:63-120: fork is
+    incompatible with an initialized multithreaded JAX runtime — a forked
+    child's first backend call deadlocks — so isolation uses spawn, and
+    the backend/device check runs IN-PROCESS because this process owns the
+    device client the engine will actually use)."""
+    ctx = mp.get_context("spawn")
     all_ok = True
     for name, fn in CHECKS:
+        if name == "jax backend":
+            # the parent's own runtime is the thing under test here
+            try:
+                status, detail = "ok", fn()
+            except Exception:
+                status, detail = "fail", traceback.format_exc()
+            mark = "PASS" if status == "ok" else "FAIL"
+            print(f"[{mark}] {name}: {detail.splitlines()[-1] if detail else ''}")
+            all_ok &= status == "ok"
+            continue
         if isolate:
             q = ctx.Queue()
             p = ctx.Process(target=_run_in_subprocess, args=(fn, q))
