@@ -123,7 +123,14 @@ print("RESULT " + json.dumps({{
 def run_config(
     blocks: int, filters: int, batch: int,
     solver: str = "none", cap: int = 0, loss_prover: bool = False,
+    _retry: bool = True,
 ) -> dict:
+    """One config in a fresh subprocess.  A result outside the sane band is
+    re-run once: the remote device can FAULT after big sequential compiles
+    (observed: a 105K config reporting 8.4K right after three cold
+    compiles) or return stale results for repeated identical executions
+    (absurdly high).  One fresh-process retry reads the warm compile cache
+    and reliably reports the true number."""
     code = _BODY.format(
         cwd=os.getcwd(), blocks=blocks, filters=filters, batch=batch,
         solver=solver, cap=cap, loss_prover=loss_prover,
@@ -139,7 +146,14 @@ def run_config(
     )
     for line in out.stdout.splitlines():
         if line.startswith("RESULT "):
-            return json.loads(line[len("RESULT "):])
+            result = json.loads(line[len("RESULT "):])
+            sane = 20_000.0 <= result.get("sims_per_s", 0.0) <= 1_000_000.0
+            if not sane and _retry:
+                return run_config(
+                    blocks, filters, batch, solver, cap, loss_prover,
+                    _retry=False,
+                )
+            return result
     raise RuntimeError(
         f"bench subprocess produced no result:\n{out.stdout[-2000:]}\n{out.stderr[-2000:]}"
     )
