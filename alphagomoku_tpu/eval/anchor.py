@@ -35,6 +35,20 @@ ANCHOR_MCFG = mcts.MCTSConfig(
     leaf_solver_cap=64,
 )
 
+# AnchorV2: the next tier of the absolute ladder — same net-free policy,
+# 4x the pinned search (the r5 flagship SATURATES AnchorV1 at 48/48, so a
+# stronger frozen opponent keeps the scale informative going forward)
+ANCHOR_V2_VERSION = "AnchorV2"
+ANCHOR_V2_SIMS = 800
+ANCHOR_V2_MCFG = mcts.MCTSConfig(
+    max_nodes=ANCHOR_V2_SIMS + 8,
+    max_edges=32,
+    max_depth=32,
+    leaf_solver="vct",
+    leaf_solver_steps=16,
+    leaf_solver_cap=128,
+)
+
 
 def anchor_apply(variables, planes: jax.Array) -> NetOutput:
     """Net-interface evaluator: planes [B, H, W, 8] raw bit-planes
@@ -73,16 +87,17 @@ def anchor_apply(variables, planes: jax.Array) -> NetOutput:
     )
 
 
-def anchor_opponent():
+def anchor_opponent(version: str = ANCHOR_VERSION):
     """eval.match.Opponent for the anchor (import here to avoid cycles)."""
     from .match import Opponent
 
+    mcfg = ANCHOR_V2_MCFG if version == ANCHOR_V2_VERSION else ANCHOR_MCFG
     return Opponent(
         net_apply=anchor_apply,
         variables={},
         raw_input=True,
-        mcfg=ANCHOR_MCFG,
-        name=ANCHOR_VERSION,
+        mcfg=mcfg,
+        name=version,
         # uniform value head: cannot adjudicate truncated games — such
         # pairs are excluded from the score instead of scoring free draws
         calibrated_value=False,

@@ -34,6 +34,7 @@ def main() -> None:
     # anchor's uniform value cannot adjudicate truncated games)
     ap.add_argument("--max-moves", type=int, default=0)
     ap.add_argument("--cpu", action="store_true")
+    ap.add_argument("--anchor", default="v1", choices=["v1", "v2"])
     args = ap.parse_args()
 
     if args.cpu:
@@ -48,7 +49,11 @@ def main() -> None:
     from alphagomoku_tpu.game import vectorized as V
     from alphagomoku_tpu.models import create_network
     from alphagomoku_tpu.eval import match as M
-    from alphagomoku_tpu.eval.anchor import anchor_opponent, ANCHOR_VERSION, ANCHOR_MCFG
+    from alphagomoku_tpu.eval.anchor import (
+        anchor_opponent, ANCHOR_VERSION, ANCHOR_V2_VERSION, ANCHOR_MCFG,
+    )
+
+    version = ANCHOR_V2_VERSION if args.anchor == "v2" else ANCHOR_VERSION
 
     rules = GameRules[args.rules]
     h = w = args.size
@@ -69,14 +74,14 @@ def main() -> None:
     openings = M.random_openings(rng, args.pairs, h, w, stones=4)
     t0 = time.time()
     results = M.play_multi_match(
-        apply, variables, [anchor_opponent()], tables,
+        apply, variables, [anchor_opponent(version)], tables,
         ANCHOR_MCFG, args.sims, openings,
         max_moves=(args.max_moves if args.max_moves > 0 else None),
         raw_input_a=net.cfg.raw_input,
     )
     res = results[0]
     print(json.dumps({
-        "anchor": ANCHOR_VERSION,
+        "anchor": version,
         "checkpoint": args.checkpoint or "(random init)",
         "sims": args.sims,
         "pairs": args.pairs,
